@@ -1,0 +1,256 @@
+"""Iterated Local Search engine and round-based driver.
+
+TPU-native re-design of the reference ``IteratedLocalSearch``
+(reference local-search/src/iterated_local_search.rs:96-203), preserving the
+round semantics of ``execute_round`` (ref :173-202):
+
+1. increment the round counter;
+2. if the elite best already satisfies ``is_best`` → the round is a no-op
+   (ref :175-184); the inner local search is gated off so converged
+   trajectories cost ~nothing;
+3. every ``restart_every`` (= 50, ref :185-191) rounds, replace ``current``
+   with a fresh random solution;
+4. perturb ``current`` (intensify if it is an elite, diversify otherwise);
+5. run the inner local-search descent;
+6. insert the descent result into the elite archive (ref :198);
+7. acceptance: score-blind weighted random choice among {current: 1,
+   new: 5, random elite: 1} (ref AcceptanceCriterion::choose, :51-71).
+
+The whole round is one jitted pure function ``IlsState -> IlsState`` — it
+``lax.scan``s over rounds, ``vmap``s over trajectory populations, and shards
+over device meshes.  The host-facing ``Solver`` class mirrors the reference's
+wasm round-based contract: step / is_finished / best / progress / cancel
+(reference web/employee-scheduling-wasm-bindgen/src/lib.rs:19-84).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from constraint_solver_tpu.core.history import EliteArchive, TabuRing
+from constraint_solver_tpu.core.local_search import LsParams, _select, ls_execute
+from constraint_solver_tpu.core.problem import Problem
+from constraint_solver_tpu.utils.seeding import seed_string_to_key
+
+
+class IlsParams(NamedTuple):
+    max_iterations: int
+    max_allow_no_improvement_for: int
+    restart_every: int = 50  # ref iterated_local_search.rs:185
+    # Acceptance weights {current, new, random-elite} (ref :62-69).
+    accept_weights: tuple = (1.0, 5.0, 1.0)
+
+
+class IlsState(NamedTuple):
+    current_state: Any
+    current_score: jax.Array  # float32[2]
+    current_fp: jax.Array     # uint32[2]
+    elite: EliteArchive
+    tabu: TabuRing
+    round: jax.Array          # int32[]
+    ls_iters_total: jax.Array  # int32[] total inner LS iterations (metrics)
+    key: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Engine hyperparameters, mirroring the reference ``MainArgs``
+    (reference examples/employee-scheduling/src/lib.rs:35-48 and
+    examples/nqueens/src/main.rs:16-26).  ``window_size`` lives with the
+    problem factory (it shapes the neighborhood tensor)."""
+
+    seed: str = "42"
+    local_search_max_iterations: int = 10_000
+    best_solutions_capacity: int = 32
+    all_solutions_capacity: int = 512  # tabu ring size (dense, so kept small)
+    all_solution_iteration_expiry: int = 10_000
+    iterated_local_search_max_iterations: int = 10_000
+    max_allow_no_improvement_for: int = 5
+    restart_every: int = 50
+
+    def ls_params(self) -> LsParams:
+        return LsParams(
+            max_iterations=self.local_search_max_iterations,
+            allow_no_improvement_for=self.max_allow_no_improvement_for,
+        )
+
+    def ils_params(self) -> IlsParams:
+        return IlsParams(
+            max_iterations=self.iterated_local_search_max_iterations,
+            max_allow_no_improvement_for=self.max_allow_no_improvement_for,
+            restart_every=self.restart_every,
+        )
+
+
+def ils_init(problem: Problem, config: SolverConfig, key: jax.Array) -> IlsState:
+    """Build the initial ILS state: a scored random solution (ref
+    IteratedLocalSearch::new, iterated_local_search.rs:141-155), an empty
+    elite archive, and an empty tabu ring."""
+    key, k_init = jax.random.split(key)
+    state = problem.init(k_init)
+    score = problem.score(state)
+    fp = problem.fingerprint(state)
+    return IlsState(
+        current_state=state,
+        current_score=score,
+        current_fp=fp,
+        elite=EliteArchive.create(config.best_solutions_capacity, state),
+        tabu=TabuRing.create(
+            config.all_solutions_capacity, config.all_solution_iteration_expiry
+        ),
+        round=jnp.int32(0),
+        ls_iters_total=jnp.int32(0),
+        key=key,
+    )
+
+
+def ils_round(
+    problem: Problem,
+    ls_params: LsParams,
+    ils_params: IlsParams,
+    st: IlsState,
+) -> IlsState:
+    """One ILS round (ref execute_round, iterated_local_search.rs:173-202)."""
+    rnd = st.round + 1  # ref :174 — increments even on the early-exit path
+
+    # Early-exit check against the elite best (ref :175-184).
+    best_score, _, _ = st.elite.get_best()
+    has_elite = jnp.any(st.elite.valid)
+    done = has_elite & problem.is_best(best_score)
+
+    key, k_restart, k_perturb, k_ls, k_accept_elite, k_accept = jax.random.split(
+        st.key, 6
+    )
+
+    # Full random restart every `restart_every` rounds (ref :185-191).
+    restart = (rnd % ils_params.restart_every) == 0
+    fresh_state = problem.init(k_restart)
+    cur_state = _select(restart, fresh_state, st.current_state)
+    cur_score = jnp.where(restart, problem.score(fresh_state), st.current_score)
+    cur_fp = jnp.where(restart, problem.fingerprint(fresh_state), st.current_fp)
+
+    # Perturbation (ref :192-194), intensify near elites / diversify otherwise
+    # (e.g. nqueens lib.rs:304-307).
+    is_elite = st.elite.contains_fp(cur_fp)
+    perturbed = problem.perturb(cur_state, is_elite, k_perturb)
+
+    # Inner descent (ref :195-197); gated off for converged trajectories.
+    new_state, new_score, tabu, ls_iters = ls_execute(
+        problem, ls_params, perturbed, st.tabu, k_ls, enabled=~done
+    )
+    new_fp = problem.fingerprint(new_state)
+
+    # Elite archive insert (ref :198).
+    elite = st.elite.insert(new_score, new_fp, new_state)
+
+    # Acceptance: score-blind weighted choice {current:1, new:5, elite:1}
+    # (ref AcceptanceCriterion::choose, :51-71).  The elite archive is never
+    # empty here because the insert above precedes the choice.
+    e_score, e_fp, e_state = elite.get_random(k_accept_elite)
+    w = jnp.asarray(ils_params.accept_weights, jnp.float32)
+    choice = jax.random.choice(k_accept, 3, p=w / w.sum())
+    nxt_state = _select(
+        choice == 0, cur_state, _select(choice == 1, new_state, e_state)
+    )
+    nxt_score = jnp.where(
+        choice == 0, cur_score, jnp.where(choice == 1, new_score, e_score)
+    )
+    nxt_fp = jnp.where(choice == 0, cur_fp, jnp.where(choice == 1, new_fp, e_fp))
+
+    out = IlsState(
+        current_state=nxt_state,
+        current_score=nxt_score,
+        current_fp=nxt_fp,
+        elite=elite,
+        tabu=tabu,
+        round=rnd,
+        ls_iters_total=st.ls_iters_total + ls_iters,
+        key=key,
+    )
+    # Converged trajectories only advance their round counter and key.
+    return _select(done, st._replace(round=rnd, key=key), out)
+
+
+class Solver:
+    """Round-based host driver.
+
+    The API mirrors the reference wasm bridge + web-worker contract —
+    incremental, cancellable, progress-reporting solving with per-round
+    stepping (reference web/employee-scheduling-wasm-bindgen/src/lib.rs:55-84
+    and web/employee-scheduling/src/worker.ts:7-27):
+
+    - ``execute_round()``   — one ILS round on device
+    - ``run(chunk=...)``    — scan many rounds per device call (fast path)
+    - ``is_finished()``     — round budget exhausted
+    - ``get_best_solution()`` / ``get_iteration_info()`` / ``cancel()``
+    """
+
+    def __init__(self, problem: Problem, config: SolverConfig):
+        self.problem = problem
+        self.config = config
+        self.cancelled = False
+        key = seed_string_to_key(config.seed)
+        self.state = ils_init(problem, config, key)
+        round_fn = partial(
+            ils_round, problem, config.ls_params(), config.ils_params()
+        )
+        self._round_jit = jax.jit(round_fn)
+
+        def run_chunk(st: IlsState, n: int) -> IlsState:
+            return jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
+
+        self._chunk_jit = jax.jit(run_chunk, static_argnums=1)
+
+    # -- wasm-bridge-shaped API ------------------------------------------
+
+    def execute_round(self) -> None:
+        self.state = self._round_jit(self.state)
+
+    def is_finished(self) -> bool:
+        return int(self.state.round) >= self.config.iterated_local_search_max_iterations
+
+    def get_iteration_info(self) -> dict:
+        return {
+            "current": int(self.state.round),
+            "total": self.config.iterated_local_search_max_iterations,
+        }
+
+    def get_best_solution(self):
+        """Returns ``(score, state)`` with score a (hard, soft) float tuple
+        and state as host numpy arrays."""
+        score, _, state = self.state.elite.get_best()
+        score = np.asarray(score)
+        return (float(score[0]), float(score[1])), jax.tree.map(np.asarray, state)
+
+    def cancel(self) -> None:
+        self.cancelled = True
+
+    # -- fast path --------------------------------------------------------
+
+    def run(self, max_rounds: int | None = None, chunk: int = 16) -> None:
+        """Run rounds until finished/converged/cancelled.  ``chunk`` rounds
+        execute per device dispatch; between chunks the host checks
+        convergence (the reference's per-round host loop, amortized)."""
+        total = self.config.iterated_local_search_max_iterations
+        if max_rounds is not None:
+            total = min(total, int(self.state.round) + max_rounds)
+        while not self.cancelled and int(self.state.round) < total:
+            n = min(chunk, total - int(self.state.round))
+            self.state = self._chunk_jit(self.state, n)
+            (hard, soft), _ = self.get_best_solution()
+            if bool(self.problem.is_best(jnp.asarray([hard, soft], jnp.float32))):
+                break
+
+    # -- metrics ----------------------------------------------------------
+
+    def stats(self) -> dict:
+        return {
+            "rounds": int(self.state.round),
+            "ls_iterations": int(self.state.ls_iters_total),
+        }

@@ -1,0 +1,141 @@
+"""Inner local-search descent engine.
+
+TPU-native re-design of the reference ``LocalSearch::execute`` loop
+(reference local-search/src/local_search.rs:301-343).  Semantics preserved:
+
+- the start solution is scored, and is the returned best if nothing improves;
+- each iteration records the current solution in the tabu ring, then
+  early-exits returning *current* if ``score.is_best()`` (ref :311-314);
+- the candidate neighborhood is proposed and scored **densely in one tensor
+  op** (replacing the per-move clone → filter-tabu → rescore → sort loop at
+  ref :315-323); tabu candidates are masked out rather than filtered out;
+- ``current`` moves to the neighborhood best **even when worse** (ref :335),
+  the built-in drift/escape mechanism;
+- ``best`` only advances on strict improvement (ref :326-328), and the loop
+  bails after ``allow_no_improvement_for`` non-improving iterations
+  (ref :329-334) or when no valid candidate exists (ref :336-338).
+
+The whole loop is a ``lax.while_loop`` — jittable, vmappable over trajectory
+populations, shardable over device meshes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from constraint_solver_tpu.core.history import TabuRing
+from constraint_solver_tpu.core.problem import Problem
+from constraint_solver_tpu.ops.lex import lex_argmin, lex_less
+
+
+class LsParams(NamedTuple):
+    """Mirrors the reference LocalSearch constructor knobs
+    (local_search.rs:277-299); window_size is owned by the problem's
+    neighborhood function."""
+
+    max_iterations: int  # static loop bound
+    allow_no_improvement_for: int
+
+
+class _LsCarry(NamedTuple):
+    state: Any
+    score: jax.Array
+    fp: jax.Array
+    best_state: Any
+    best_score: jax.Array
+    tabu: TabuRing
+    key: jax.Array
+    no_improve: jax.Array
+    it: jax.Array
+    done: jax.Array
+
+
+def _select(pred: jax.Array, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def ls_execute(
+    problem: Problem,
+    params: LsParams,
+    start_state: Any,
+    tabu: TabuRing,
+    key: jax.Array,
+    enabled: jax.Array | bool = True,
+):
+    """Run one local-search descent from ``start_state``.
+
+    Returns ``(best_state, best_score, tabu, iterations_used)``.  The tabu
+    ring persists across calls, as the reference ``LocalSearch`` keeps its
+    private ``History`` alive across ILS rounds (local_search.rs:265, :310).
+
+    ``enabled=False`` makes the whole descent a cheap no-op (used to gate
+    converged trajectories inside vmapped populations, where Python-level
+    branching is impossible).
+    """
+    start_score = problem.score(start_state)
+    start_fp = problem.fingerprint(start_state)
+
+    carry = _LsCarry(
+        state=start_state,
+        score=start_score,
+        fp=start_fp,
+        best_state=start_state,
+        best_score=start_score,
+        tabu=tabu,
+        key=key,
+        no_improve=jnp.int32(0),
+        it=jnp.int32(0),
+        done=~jnp.asarray(enabled),
+    )
+
+    def cond(c: _LsCarry):
+        return (c.it < params.max_iterations) & ~c.done
+
+    def body(c: _LsCarry) -> _LsCarry:
+        tabu = c.tabu.push(c.fp)
+        # Early exit: best possible score reached — the reference returns the
+        # *current* solution here (local_search.rs:311-314).
+        hit_best = problem.is_best(c.score)
+
+        key, k_nb = jax.random.split(c.key)
+        nb = problem.neighborhood(c.state, c.score, k_nb)
+        valid = nb.valid & ~tabu.is_tabu(nb.fps)
+        any_valid = jnp.any(valid)
+
+        idx = lex_argmin(nb.scores, valid)
+        cand_score = nb.scores[idx]
+        cand_fp = nb.fps[idx]
+        cand_state = problem.apply_move(c.state, nb.moves, idx)
+
+        improved = lex_less(cand_score, c.score) & any_valid
+        step = any_valid & ~hit_best
+
+        no_improve = jnp.where(improved, 0, c.no_improve + 1)
+        bail = (~improved) & (no_improve >= params.allow_no_improvement_for)
+
+        new_best = improved | hit_best
+        best_state = _select(
+            new_best, _select(hit_best, c.state, cand_state), c.best_state
+        )
+        best_score = jnp.where(
+            new_best, jnp.where(hit_best, c.score, cand_score), c.best_score
+        )
+
+        return _LsCarry(
+            state=_select(step, cand_state, c.state),
+            score=jnp.where(step, cand_score, c.score),
+            fp=jnp.where(step, cand_fp, c.fp),
+            best_state=best_state,
+            best_score=best_score,
+            tabu=tabu,
+            key=key,
+            no_improve=jnp.where(step, no_improve, c.no_improve),
+            it=c.it + 1,
+            done=hit_best | bail | ~any_valid,
+        )
+
+    out = jax.lax.while_loop(cond, body, carry)
+    return out.best_state, out.best_score, out.tabu, out.it

@@ -1,0 +1,70 @@
+"""The problem-domain interface of the TPU solver core.
+
+The reference defines five traits — ``Solution``, ``Score``,
+``SolutionScoreCalculator``, ``InitialSolutionGenerator``, ``MoveProposer``
+(reference local-search/src/local_search.rs:16-90) plus ``Perturbation``
+(iterated_local_search.rs:76-88).  A TPU-native engine cannot call back into
+per-move iterators, so the contract is re-shaped around dense tensors:
+
+- a *solution* is a fixed-shape array pytree ("state"),
+- a *score* is ``float32[2]`` = (hard, soft), minimized lexicographically,
+- a *neighborhood* is a fixed-width batch of W candidate **moves** with their
+  scores (computed by delta evaluation against counters, not by cloning) and
+  incrementally-updated fingerprints, plus a validity mask,
+- *apply_move* materializes only the single chosen move.
+
+Everything is a jittable pure function on arrays; the engine ``vmap``s the
+whole bundle over trajectory populations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+
+
+class Neighborhood(NamedTuple):
+    """A scored batch of W candidate moves from one state.
+
+    scores: float32[W, 2] — candidate (hard, soft) scores.
+    fps:    uint32[W, 2]  — candidate solution fingerprints.
+    moves:  pytree with [W, ...] leaves identifying each move.
+    valid:  bool[W]       — padding/sampling validity mask; invalid
+                            candidates are never selected.
+    """
+
+    scores: jax.Array
+    fps: jax.Array
+    moves: Any
+    valid: jax.Array
+
+
+class Problem(NamedTuple):
+    """A constraint problem, expressed as jittable pure functions.
+
+    init:         (key) -> state                 random initial solution
+                  (ref: InitialSolutionGenerator, local_search.rs:68-75)
+    score:        (state) -> float32[2]          full (hard, soft) score
+                  (ref: SolutionScoreCalculator, local_search.rs:58-66)
+    is_best:      (score[2]) -> bool[]           early-exit predicate
+                  (ref: Score::is_best, local_search.rs:23-27)
+    fingerprint:  (state) -> uint32[2]           solution identity
+    neighborhood: (state, score[2], key) -> Neighborhood
+                  (ref: MoveProposer::iter_local_moves, local_search.rs:79-90)
+    apply_move:   (state, moves, idx) -> state   apply candidate ``idx``
+    perturb:      (state, is_elite, key) -> state
+                  (ref: Perturbation, iterated_local_search.rs:76-88; the
+                  is_elite flag mirrors history.is_best_solution intensify/
+                  diversify branching, e.g. nqueens lib.rs:304-307)
+    name:         domain name for logs/benchmarks.
+    """
+
+    name: str
+    init: Callable[[jax.Array], Any]
+    score: Callable[[Any], jax.Array]
+    is_best: Callable[[jax.Array], jax.Array]
+    fingerprint: Callable[[Any], jax.Array]
+    neighborhood: Callable[[Any, jax.Array, jax.Array], Neighborhood]
+    apply_move: Callable[[Any, Any, jax.Array], Any]
+    perturb: Callable[[Any, jax.Array, jax.Array], Any]

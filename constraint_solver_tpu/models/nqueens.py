@@ -1,0 +1,183 @@
+"""N-Queens domain with dense O(1)-delta neighborhood scoring.
+
+Reference semantics (reference examples/nqueens/src/lib.rs):
+
+- solution: one queen per column, ``rows[col] = row`` (ref lib.rs:18-23);
+- score: total conflict count, counting each attacking pair **twice** (the
+  per-column sum convention of ``get_col_scores``, ref lib.rs:74-87) —
+  equal rows, equal diagonals, or equal anti-diagonals attack;
+- is_best: score == 0 (ref lib.rs:66-71);
+- neighborhood (ref lib.rs:173-256): sample conflicted columns weighted by
+  conflict count without replacement (``choose_multiple_weighted``,
+  ref lib.rs:196-201), draw ``num_cols ~ U[1, amount]``, and enumerate
+  **every row value** for each chosen column;
+- perturbation (ref lib.rs:285-320): w.p. 100/110 assign random rows to
+  ``U[1, n/20]`` random columns if current is an elite else ``U[1, n/2]``
+  (intensify/diversify), w.p. 10/110 do nothing.
+
+TPU-native scoring: instead of the reference's O(n^2) pairwise rescan per
+candidate clone (ref lib.rs:74-87 called per move), we maintain per-line
+occupancy counters — row / diagonal / anti-diagonal — from which
+
+    total_conflicts = sum over lines of k * (k - 1)
+
+(equals the reference's x2-pair convention: rows/diags/antidiags partition
+attacking pairs, each contributing C(k,2) pairs), and a change-value move
+(col c: r -> r') re-scores in O(1):
+
+    delta = -2 * [(rc[r]-1) + (dc[d]-1) + (ac[a]-1)]
+            +2 * [(rc[r']-[r'==r]) + (dc[d']-[d'==d]) + (ac[a']-[a'==a])]
+
+The whole [A, n] candidate block (A sampled columns x all n rows) is scored
+as one dense gather+add tensor op on the VPU.
+
+Weighted sampling without replacement is Gumbel-top-k (the exact
+Plackett-Luce equivalent of successive weighted draws); see SURVEY.md §7
+"hard parts" item 3.  Divergence note: the reference subsamples ``num_cols``
+of its ``amount`` drawn columns uniformly; we take the first ``num_cols`` of
+the Gumbel order (already a random weighted order) — same support, slightly
+different inclusion probabilities.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from constraint_solver_tpu.core.problem import Neighborhood, Problem
+from constraint_solver_tpu.ops.fingerprint import fingerprint_i32, fp_update
+from constraint_solver_tpu.ops.lex import make_score
+
+
+def line_counts(rows: jax.Array):
+    """Occupancy counters (row_counts[n], diag_counts[2n-1], anti[2n-1])."""
+    n = rows.shape[-1]
+    cols = jnp.arange(n, dtype=rows.dtype)
+    rc = jnp.zeros((n,), jnp.int32).at[rows].add(1)
+    dc = jnp.zeros((2 * n - 1,), jnp.int32).at[rows - cols + (n - 1)].add(1)
+    ac = jnp.zeros((2 * n - 1,), jnp.int32).at[rows + cols].add(1)
+    return rc, dc, ac
+
+
+def total_conflicts(rows: jax.Array) -> jax.Array:
+    """Total conflict count, x2-pair convention (ref lib.rs:74-87 summed)."""
+    rc, dc, ac = line_counts(rows)
+    s = lambda c: jnp.sum(c * (c - 1))
+    return (s(rc) + s(dc) + s(ac)).astype(jnp.int32)
+
+
+def col_scores(rows: jax.Array) -> jax.Array:
+    """Per-column conflict counts, matching ``get_col_scores``
+    (ref lib.rs:74-87): column c conflicts with (rc-1)+(dc-1)+(ac-1) others."""
+    n = rows.shape[-1]
+    cols = jnp.arange(n, dtype=rows.dtype)
+    rc, dc, ac = line_counts(rows)
+    return (
+        (rc[rows] - 1)
+        + (dc[rows - cols + (n - 1)] - 1)
+        + (ac[rows + cols] - 1)
+    ).astype(jnp.int32)
+
+
+def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Problem:
+    """Build the N-Queens problem.  ``sample_cols`` (A) is the number of
+    conflicted columns sampled per proposal; default ``max(1, n // 20)``
+    mirrors the reference's ``amount`` cap (ref lib.rs:196)."""
+    n = board_size
+    a_max = sample_cols if sample_cols is not None else max(1, n // 20)
+
+    def init(key):
+        # Random permutation start (ref lib.rs:152-161).
+        return jax.random.permutation(key, jnp.arange(n, dtype=jnp.int32))
+
+    def score(rows):
+        return make_score(total_conflicts(rows))
+
+    def is_best(s):
+        return s[0] == 0
+
+    def fingerprint(rows):
+        return fingerprint_i32(rows)
+
+    def neighborhood(rows, cur_score, key):
+        k_gumbel, k_num = jax.random.split(key)
+        cs = col_scores(rows)  # [n]
+        conflicted = cs > 0
+        n_conflicted = jnp.sum(conflicted)
+
+        # Weighted sample of A columns without replacement via Gumbel-top-k
+        # (weights = conflict count + 1e-4, ref lib.rs:198).
+        logits = jnp.log(cs.astype(jnp.float32) + 1e-4)
+        logits = jnp.where(conflicted, logits, -jnp.inf)
+        gumbel = jax.random.gumbel(k_gumbel, (n,))
+        _, chosen_cols = jax.lax.top_k(logits + gumbel, a_max)  # [A]
+
+        # amount = clamp(n/20, 1, #conflicted); num_cols ~ U[1, amount]
+        # (ref lib.rs:196-203).
+        amount = jnp.clip(n_conflicted, 1, a_max)
+        num_cols = jax.random.randint(k_num, (), 1, amount + 1)
+        col_valid = jnp.arange(a_max) < jnp.minimum(num_cols, n_conflicted)
+
+        c = chosen_cols.astype(jnp.int32)           # [A]
+        r = rows[c]                                  # [A] current rows
+        d = r - c + (n - 1)
+        a = r + c
+        rc, dc, ac = line_counts(rows)
+
+        # Remove the queen from its lines: each line loses 2*(k-1).
+        removed = (rc[r] - 1) + (dc[d] - 1) + (ac[a] - 1)  # [A]
+
+        rp = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, n] candidate rows
+        dp = rp - c[:, None] + (n - 1)                # [A, n]
+        ap = rp + c[:, None]
+        added = (
+            (rc[rp[0]][None, :] - (rp == r[:, None]))
+            + (dc[dp] - (dp == d[:, None]))
+            + (ac[ap] - (ap == a[:, None]))
+        )  # [A, n]
+
+        delta = 2 * (added - removed[:, None])
+        cand_hard = cur_score[0] + delta.astype(jnp.float32)  # [A, n]
+        scores = make_score(cand_hard.reshape(-1))
+
+        fp0 = fingerprint_i32(rows)
+        fps = fp_update(
+            fp0[None, None, :],
+            jnp.broadcast_to(c[:, None], (a_max, n)),
+            jnp.broadcast_to(r[:, None], (a_max, n)).astype(jnp.uint32),
+            jnp.broadcast_to(rp, (a_max, n)).astype(jnp.uint32),
+        ).reshape(-1, 2)
+
+        moves = (
+            jnp.broadcast_to(c[:, None], (a_max, n)).reshape(-1),
+            jnp.broadcast_to(rp, (a_max, n)).reshape(-1).astype(jnp.int32),
+        )
+        valid = jnp.broadcast_to(col_valid[:, None], (a_max, n)).reshape(-1)
+        return Neighborhood(scores=scores, fps=fps, moves=moves, valid=valid)
+
+    def apply_move(rows, moves, idx):
+        cols_mv, new_rows = moves
+        return rows.at[cols_mv[idx]].set(new_rows[idx])
+
+    def perturb(rows, is_elite, key):
+        # {ChangeSubset: 100, DoNothing: 10} (ref lib.rs:274-283);
+        # k ~ U[1, n/20] near elites else U[1, n/2] (ref lib.rs:304-307).
+        k_strat, k_n, k_perm, k_rows = jax.random.split(key, 4)
+        do_change = jax.random.uniform(k_strat) < (100.0 / 110.0)
+        hi = jnp.where(is_elite, max(1, n // 20), max(1, n // 2))
+        n_alter = jax.random.randint(k_n, (), 1, hi + 1)
+        order = jax.random.permutation(k_perm, n)
+        alter = jnp.zeros((n,), bool).at[order].set(jnp.arange(n) < n_alter)
+        new_rows = jax.random.randint(k_rows, (n,), 0, n, jnp.int32)
+        return jnp.where(do_change & alter, new_rows, rows)
+
+    return Problem(
+        name=f"nqueens-{n}",
+        init=init,
+        score=score,
+        is_best=is_best,
+        fingerprint=fingerprint,
+        neighborhood=neighborhood,
+        apply_move=apply_move,
+        perturb=perturb,
+    )

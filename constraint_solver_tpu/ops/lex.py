@@ -1,0 +1,104 @@
+"""Lexicographic (hard, soft) score operations.
+
+The reference orders scores with derived ``Ord`` on a ``(hard, soft)`` pair
+(reference examples/employee-scheduling/src/lib.rs:239-249; single-objective
+problems use a plain scalar, e.g. nqueens lib.rs:63-71).  Here every score is
+a dense ``float32[..., 2]`` tensor — ``score[..., 0]`` is the hard channel,
+``score[..., 1]`` the soft channel — and comparisons are carried through XLA
+reductions lexicographically:
+
+- ``lex_argmin`` / ``lex_min`` — two-pass masked min (O(W), VPU-friendly,
+  no sort needed, stable first-index tie-break like a stable sort).
+- ``lex_top_k`` — XLA multi-key ``lax.sort`` (``num_keys=2``) carrying
+  arbitrary payload operands.
+
+Single-objective problems put their objective in the hard channel and 0 in
+the soft channel, so one code path serves all domains.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Sentinel "worse than anything" score used for masked-out candidates.
+INF_SCORE = jnp.float32(jnp.inf)
+
+
+def make_score(hard, soft=0.0, dtype=jnp.float32) -> jax.Array:
+    """Pack hard/soft scalars (or broadcastable arrays) into a [..., 2] score."""
+    hard = jnp.asarray(hard, dtype)
+    soft = jnp.broadcast_to(jnp.asarray(soft, dtype), hard.shape)
+    return jnp.stack([hard, soft], axis=-1)
+
+
+def lex_less(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a < b lexicographically; a, b are [..., 2] scores."""
+    return (a[..., 0] < b[..., 0]) | ((a[..., 0] == b[..., 0]) & (a[..., 1] < b[..., 1]))
+
+
+def lex_leq(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a <= b lexicographically."""
+    return (a[..., 0] < b[..., 0]) | ((a[..., 0] == b[..., 0]) & (a[..., 1] <= b[..., 1]))
+
+
+def lex_argmin(scores: jax.Array, valid: jax.Array | None = None) -> jax.Array:
+    """Index of the lexicographic minimum of ``scores`` [W, 2].
+
+    Invalid rows (``valid == False``) are never selected.  Ties resolve to the
+    lowest index (matching the first element of a stable sort, which is how
+    the reference picks the neighborhood best after ``neighborhood.sort()``
+    at reference local_search.rs:323-325).
+    """
+    hard = scores[..., 0]
+    soft = scores[..., 1]
+    if valid is not None:
+        hard = jnp.where(valid, hard, jnp.inf)
+    m0 = jnp.min(hard, axis=-1, keepdims=True)
+    tie = hard == m0
+    soft_m = jnp.where(tie, soft, jnp.inf)
+    m1 = jnp.min(soft_m, axis=-1, keepdims=True)
+    return jnp.argmax(tie & (soft_m == m1), axis=-1)
+
+
+def lex_min(scores: jax.Array, valid: jax.Array | None = None) -> jax.Array:
+    """Lexicographic minimum score of [W, 2] (returns [2])."""
+    idx = lex_argmin(scores, valid)
+    return jnp.take_along_axis(scores, idx[..., None, None], axis=-2).squeeze(-2)
+
+
+def lex_argmax(scores: jax.Array, valid: jax.Array | None = None) -> jax.Array:
+    """Index of the lexicographic maximum (worst) of ``scores`` [W, 2]."""
+    hard = scores[..., 0]
+    soft = scores[..., 1]
+    if valid is not None:
+        hard = jnp.where(valid, hard, -jnp.inf)
+    m0 = jnp.max(hard, axis=-1, keepdims=True)
+    tie = hard == m0
+    soft_m = jnp.where(tie, soft, -jnp.inf)
+    m1 = jnp.max(soft_m, axis=-1, keepdims=True)
+    return jnp.argmax(tie & (soft_m == m1), axis=-1)
+
+
+def lex_top_k(scores: jax.Array, k: int, *payload: jax.Array):
+    """Smallest-k scores with payload, via XLA multi-key sort.
+
+    ``scores`` is [N, 2]; each payload leaf is [N, ...].  Returns
+    ``(top_scores [k, 2], *top_payload)`` sorted ascending lexicographically.
+    Payload arrays with >1 trailing dim are flattened/restored around the sort
+    because ``lax.sort`` wants rank-matched operands on dimension 0.
+    """
+    n = scores.shape[0]
+    flat_payload = []
+    shapes = []
+    for p in payload:
+        shapes.append(p.shape)
+        flat_payload.append(p.reshape(n, -1) if p.ndim > 1 else p)
+    operands = [scores[:, 0], scores[:, 1], *flat_payload]
+    sorted_ops = jax.lax.sort(operands, num_keys=2, dimension=0, is_stable=True)
+    hard, soft = sorted_ops[0][:k], sorted_ops[1][:k]
+    out_payload = []
+    for p, shape in zip(sorted_ops[2:], shapes):
+        p = p[:k]
+        out_payload.append(p.reshape((k,) + shape[1:]))
+    return jnp.stack([hard, soft], axis=-1), *out_payload
