@@ -1,0 +1,82 @@
+"""Employee-scheduling CLI, mirroring the reference binary.
+
+Reference: examples/employee-scheduling/src/main.rs — 7 employees, 31 days
+starting 2022-05-09, no holidays (main.rs:11-22), hyperparameters at
+main.rs:25-31, per-employee output at main.rs:53-62.
+
+Usage:
+    python -m constraint_solver_tpu.cli.scheduling [--employees 7] [--days 31]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Employee scheduling local search example")
+    parser.add_argument("--seed", "-s", default="42")
+    parser.add_argument("--start-date", default="2022-05-09")
+    parser.add_argument("--days", type=int, default=31)
+    parser.add_argument("--employees", "-e", type=int, default=7)
+    parser.add_argument("--rounds", type=int, default=250)
+    parser.add_argument("--window-size", type=int, default=100)
+    parser.add_argument("--population", "-p", type=int, default=1)
+    parser.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from constraint_solver_tpu.core.ils import Solver, SolverConfig
+    from constraint_solver_tpu.models.scheduling import (
+        ScheduleSpec,
+        make_scheduling_problem,
+    )
+    from constraint_solver_tpu.parallel.population import PopulationSolver
+    from constraint_solver_tpu.utils.printing import (
+        format_schedule,
+        format_schedule_by_employee,
+    )
+
+    print("employee scheduling local search example")
+    start = datetime.date.fromisoformat(args.start_date)
+    end = start + datetime.timedelta(days=args.days - 1)
+    spec = ScheduleSpec.from_dates(start, end, args.employees)
+    # Reference hyperparameters (main.rs:25-31).
+    config = SolverConfig(
+        seed=args.seed,
+        local_search_max_iterations=1_000,
+        best_solutions_capacity=64,
+        all_solutions_capacity=512,
+        all_solution_iteration_expiry=1_000,
+        iterated_local_search_max_iterations=args.rounds,
+        max_allow_no_improvement_for=20,
+    )
+    problem = make_scheduling_problem(spec, window_size=args.window_size)
+    t0 = time.time()
+    if args.population > 1:
+        solver = PopulationSolver(problem, config, population=args.population)
+    else:
+        solver = Solver(problem, config)
+    solver.run()
+    (hard, soft), assign = solver.get_best_solution()
+    wall = time.time() - t0
+
+    if not args.quiet:
+        print("result.solution:")
+        print(format_schedule(assign, start))
+        print("---")
+        print(format_schedule_by_employee(assign, start))
+    print(f"result.score: hard {hard:.1f} soft {soft:.1f}")
+    print(f"stats: {solver.stats()} wall: {wall:.2f}s")
+    return hard
+
+
+if __name__ == "__main__":
+    main()

@@ -85,20 +85,14 @@ def lex_top_k(scores: jax.Array, k: int, *payload: jax.Array):
 
     ``scores`` is [N, 2]; each payload leaf is [N, ...].  Returns
     ``(top_scores [k, 2], *top_payload)`` sorted ascending lexicographically.
-    Payload arrays with >1 trailing dim are flattened/restored around the sort
-    because ``lax.sort`` wants rank-matched operands on dimension 0.
+    The sort produces an index permutation (``lax.sort`` requires all
+    operands to share one shape), and payloads are gathered through it.
     """
     n = scores.shape[0]
-    flat_payload = []
-    shapes = []
-    for p in payload:
-        shapes.append(p.shape)
-        flat_payload.append(p.reshape(n, -1) if p.ndim > 1 else p)
-    operands = [scores[:, 0], scores[:, 1], *flat_payload]
-    sorted_ops = jax.lax.sort(operands, num_keys=2, dimension=0, is_stable=True)
-    hard, soft = sorted_ops[0][:k], sorted_ops[1][:k]
-    out_payload = []
-    for p, shape in zip(sorted_ops[2:], shapes):
-        p = p[:k]
-        out_payload.append(p.reshape((k,) + shape[1:]))
-    return jnp.stack([hard, soft], axis=-1), *out_payload
+    iota = jnp.arange(n, dtype=jnp.int32)
+    hard, soft, perm = jax.lax.sort(
+        [scores[:, 0], scores[:, 1], iota], num_keys=2, dimension=0, is_stable=True
+    )
+    perm_k = perm[:k]
+    out_payload = [jnp.take(p, perm_k, axis=0) for p in payload]
+    return jnp.stack([hard[:k], soft[:k]], axis=-1), *out_payload

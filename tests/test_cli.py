@@ -1,0 +1,38 @@
+"""CLI entry point tests (the reference's L3 surface,
+examples/nqueens/src/main.rs and examples/employee-scheduling/src/main.rs)."""
+
+from constraint_solver_tpu.cli import nqueens as nqueens_cli
+from constraint_solver_tpu.cli import scheduling as scheduling_cli
+from constraint_solver_tpu.utils.printing import format_board
+
+
+def test_nqueens_cli_solves(capsys):
+    score = nqueens_cli.main(
+        ["--seed", "42", "--board-size", "8", "--platform", "cpu"]
+    )
+    out = capsys.readouterr().out
+    assert score == 0
+    assert "result.score: 0" in out
+    assert out.count("Q") == 8  # the board printer drew all 8 queens
+
+
+def test_scheduling_cli_runs(capsys):
+    hard = scheduling_cli.main(
+        [
+            "--platform", "cpu", "--rounds", "60", "--days", "14",
+            "--employees", "4", "--quiet",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "result.score:" in out
+    assert hard >= 0
+
+
+def test_format_board_matches_reference_layout():
+    """4x4 grid shape per the reference Debug printer (nqueens lib.rs:26-60)."""
+    board = format_board([1, 3, 0, 2])
+    lines = board.split("\n")
+    assert len(lines) == 9  # 2n+1 rows
+    assert lines[0] == "-" * 17  # 4n+1 dashes
+    assert lines[1] == "|   |   | Q |   |"  # row 0 has the queen of column 2
+    assert lines[3] == "| Q |   |   |   |"  # row 1 -> column 0

@@ -1,0 +1,38 @@
+"""Determinism/repeatability integration test — the analog of the reference's
+``repeatable`` test (examples/nqueens/src/main.rs:152-201): for several seed
+strings, repeated full solves must produce identical solutions AND solve
+8-queens to zero conflicts every time.  Seeding is string -> blake2b-256 ->
+PRNG key, mirroring the reference's string -> Blake2b-256 -> ChaCha20."""
+
+import numpy as np
+import pytest
+
+from constraint_solver_tpu.core.ils import Solver, SolverConfig
+from constraint_solver_tpu.models.nqueens import make_nqueens_problem
+
+
+@pytest.mark.parametrize("seed", [str(s) for s in range(42, 46)])
+def test_nqueens_repeatable_and_solved(seed):
+    results = []
+    for _ in range(3):
+        solver = Solver(
+            make_nqueens_problem(8),
+            SolverConfig(
+                seed=seed,
+                local_search_max_iterations=10_000,
+                best_solutions_capacity=32,
+                all_solutions_capacity=512,
+                all_solution_iteration_expiry=1_000,
+                iterated_local_search_max_iterations=10_000,
+                max_allow_no_improvement_for=5,
+            ),
+        )
+        solver.run(chunk=8)
+        (hard, soft), rows = solver.get_best_solution()
+        results.append((hard, soft, tuple(rows.tolist())))
+
+    first = results[0]
+    for other in results[1:]:
+        assert other == first, f"nondeterministic result with seed {seed}"
+    assert first[0] == 0, f"8-queens unsolved with seed {seed}: {first}"
+    assert sorted(first[2]) == list(range(8))
