@@ -1,0 +1,112 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: candidate moves evaluated per second on nqueens-1000 with a
+vmapped trajectory population on one TPU chip (BASELINE.json config[1]+[3]).
+Also measures (stderr): time-to-zero-violations on nqueens-1000 and the
+solution quality gate.
+
+vs_baseline: the reference publishes no numbers and no Rust toolchain exists
+here (BASELINE.md), so the baseline is a faithful C++ -O3 stand-in for the
+reference's hot loop — full O(n^2) rescore per candidate clone (reference
+local_search.rs:315-323 + nqueens lib.rs:74-87) — compiled and measured on
+this host at bench time (bench/baseline_nqueens.cc).  Falls back to a
+recorded constant if g++ is unavailable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N = int(os.environ.get("BENCH_N", 1000))
+POP = int(os.environ.get("BENCH_POP", 64))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 2))
+FALLBACK_BASELINE = 7370.0  # measured 2026-08-17 on this host (see bench/)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_baseline() -> float:
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench", "baseline_nqueens.cc")
+    exe = "/tmp/baseline_nqueens"
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-o", exe, src],
+                check=True, capture_output=True, timeout=120,
+            )
+        out = subprocess.run(
+            [exe, str(N), "4"], check=True, capture_output=True, timeout=60
+        )
+        return float(out.stdout.strip())
+    except Exception as e:  # noqa: BLE001
+        log(f"baseline measurement failed ({e}); using recorded {FALLBACK_BASELINE}")
+        return FALLBACK_BASELINE
+
+
+def main() -> None:
+    baseline = measure_baseline()
+    log(f"reference-style CPU baseline: {baseline:.0f} moves/s")
+
+    import jax
+
+    from constraint_solver_tpu.core.ils import SolverConfig
+    from constraint_solver_tpu.models.nqueens import make_nqueens_problem
+    from constraint_solver_tpu.parallel.population import PopulationSolver
+
+    log(f"devices: {jax.devices()}")
+    problem = make_nqueens_problem(N)
+    moves_per_ls_iter = max(1, N // 20) * N
+    config = SolverConfig(
+        seed="bench",
+        local_search_max_iterations=2_000,
+        all_solutions_capacity=256,
+        iterated_local_search_max_iterations=10_000,
+        max_allow_no_improvement_for=5,
+    )
+
+    # --- warm-up: compile every program shape used below ------------------
+    solver = PopulationSolver(problem, config, population=POP, exchange_every=CHUNK)
+    t0 = time.time()
+    solver.run(max_rounds=CHUNK, chunk=CHUNK)
+    log(f"warm-up (compile) {time.time() - t0:.1f}s")
+
+    # --- timed solve from a fresh state -----------------------------------
+    # Throughput is measured over the productive portion of an actual solve
+    # (converged trajectories gate their inner search off, so counted
+    # iterations are real work), and the same run yields
+    # time-to-zero-violations.
+    solver2 = PopulationSolver(problem, config, population=POP, exchange_every=CHUNK)
+    t0 = time.time()
+    solver2.run(chunk=CHUNK)  # stops at hard == 0 via the convergence probe
+    ttz = time.time() - t0
+    (hard, _), _ = solver2.get_best_solution()
+    iters = solver2.stats()["ls_iterations"]
+    moves = iters * moves_per_ls_iter
+    throughput = moves / ttz
+    log(f"time-to-zero-violations nqueens-{N} (P={POP}): {ttz:.2f}s best={hard}")
+    log(
+        f"throughput: {iters} LS iterations x {moves_per_ls_iter} moves "
+        f"in {ttz:.2f}s = {throughput:.3g} moves/s"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"nqueens{N}_moves_evaluated_per_sec",
+                "value": round(throughput),
+                "unit": "moves/s",
+                "vs_baseline": round(throughput / baseline, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -206,6 +206,8 @@ class Solver:
             return jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
 
         self._chunk_jit = jax.jit(run_chunk, static_argnums=1)
+        # Cheap convergence probe: transfers 8 bytes, not the elite arrays.
+        self._best_score_jit = jax.jit(lambda st: st.elite.get_best()[0])
 
     # -- wasm-bridge-shaped API ------------------------------------------
 
@@ -240,11 +242,13 @@ class Solver:
         total = self.config.iterated_local_search_max_iterations
         if max_rounds is not None:
             total = min(total, int(self.state.round) + max_rounds)
-        while not self.cancelled and int(self.state.round) < total:
-            n = min(chunk, total - int(self.state.round))
+        rounds_done = int(self.state.round)
+        while not self.cancelled and rounds_done < total:
+            n = min(chunk, total - rounds_done)
             self.state = self._chunk_jit(self.state, n)
-            (hard, soft), _ = self.get_best_solution()
-            if bool(self.problem.is_best(jnp.asarray([hard, soft], jnp.float32))):
+            rounds_done += n
+            score = jnp.asarray(self._best_score_jit(self.state))
+            if bool(self.problem.is_best(score)):
                 break
 
     # -- metrics ----------------------------------------------------------

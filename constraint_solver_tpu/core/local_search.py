@@ -38,6 +38,11 @@ class LsParams(NamedTuple):
 
     max_iterations: int  # static loop bound
     allow_no_improvement_for: int
+    # Tabu is resolved pick-then-check: argmin, fingerprint the winner,
+    # re-pick if tabu — at most this many times.  (The reference filters
+    # every candidate before scoring, ref local_search.rs:319; hashing all
+    # W candidates against the whole ring would dominate the device time.)
+    tabu_retries: int = 8
 
 
 class _LsCarry(NamedTuple):
@@ -102,13 +107,39 @@ def ls_execute(
 
         key, k_nb = jax.random.split(c.key)
         nb = problem.neighborhood(c.state, c.score, k_nb)
-        valid = nb.valid & ~tabu.is_tabu(nb.fps)
-        any_valid = jnp.any(valid)
 
-        idx = lex_argmin(nb.scores, valid)
+        # Pick-then-check tabu resolution: take the lexicographic best
+        # candidate, fingerprint it in O(1), and re-pick (invalidating the
+        # hit) while it is tabu, up to ``tabu_retries`` times.  Mirrors the
+        # reference's "tabu candidates are never chosen" invariant without
+        # materializing the O(W x T) membership matrix.
+        def pick_cond(p):
+            valid, _idx, _fp, found, tries = p
+            return (~found) & (tries < params.tabu_retries) & jnp.any(valid)
+
+        def pick_body(p):
+            valid, _idx, _fp, _found, tries = p
+            idx = lex_argmin(nb.scores, valid)
+            fp = problem.move_fp(c.state, c.fp, nb.moves, idx)
+            hit = tabu.is_tabu(fp[None, :])[0]
+            invalidated = valid & (jnp.arange(valid.shape[0]) != idx)
+            valid = jnp.where(hit, invalidated, valid)
+            return (valid, idx, fp, ~hit, tries + 1)
+
+        init_pick = (
+            nb.valid,
+            jnp.int32(0),
+            c.fp,
+            jnp.asarray(False),
+            jnp.int32(0),
+        )
+        _, idx, cand_fp, found, _ = jax.lax.while_loop(
+            pick_cond, pick_body, init_pick
+        )
+
         cand_score = nb.scores[idx]
-        cand_fp = nb.fps[idx]
         cand_state = problem.apply_move(c.state, nb.moves, idx)
+        any_valid = found
 
         improved = lex_less(cand_score, c.score) & any_valid
         step = any_valid & ~hit_best

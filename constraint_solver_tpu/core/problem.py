@@ -28,14 +28,18 @@ class Neighborhood(NamedTuple):
     """A scored batch of W candidate moves from one state.
 
     scores: float32[W, 2] — candidate (hard, soft) scores.
-    fps:    uint32[W, 2]  — candidate solution fingerprints.
     moves:  pytree with [W, ...] leaves identifying each move.
     valid:  bool[W]       — padding/sampling validity mask; invalid
                             candidates are never selected.
+
+    Candidate fingerprints are deliberately NOT materialized here: the
+    engine resolves tabu membership pick-then-check (argmin first, then
+    fingerprint only the winner via ``Problem.move_fp``), so the O(W x T)
+    membership matrix and O(W) hashing the reference's filter-then-score
+    order would imply (ref local_search.rs:319) never exist on device.
     """
 
     scores: jax.Array
-    fps: jax.Array
     moves: Any
     valid: jax.Array
 
@@ -52,6 +56,8 @@ class Problem(NamedTuple):
     fingerprint:  (state) -> uint32[2]           solution identity
     neighborhood: (state, score[2], key) -> Neighborhood
                   (ref: MoveProposer::iter_local_moves, local_search.rs:79-90)
+    move_fp:      (state, cur_fp[2], moves, idx) -> uint32[2]
+                  fingerprint of candidate ``idx`` (O(1) incremental)
     apply_move:   (state, moves, idx) -> state   apply candidate ``idx``
     perturb:      (state, is_elite, key) -> state
                   (ref: Perturbation, iterated_local_search.rs:76-88; the
@@ -66,5 +72,6 @@ class Problem(NamedTuple):
     is_best: Callable[[jax.Array], jax.Array]
     fingerprint: Callable[[Any], jax.Array]
     neighborhood: Callable[[Any, jax.Array, jax.Array], Neighborhood]
+    move_fp: Callable[[Any, jax.Array, Any, jax.Array], jax.Array]
     apply_move: Callable[[Any, Any, jax.Array], Any]
     perturb: Callable[[Any, jax.Array, jax.Array], Any]

@@ -87,16 +87,19 @@ def make_ackley_problem(
         scores = make_score(ackley(cands))
         dims = jnp.tile(jnp.arange(d, dtype=jnp.int32), 2)  # [2d]
         new_vals = jnp.take_along_axis(cands, dims[:, None], axis=1)[:, 0]
-        fp0 = fingerprint_f32(x)
-        fps = fp_update(
-            fp0[None, :],
-            dims,
-            x[dims].view(jnp.int32).astype(jnp.uint32),
-            new_vals.view(jnp.int32).astype(jnp.uint32),
-        )
         moves = (dims, new_vals)
         valid = jnp.ones((2 * d,), bool)
-        return Neighborhood(scores=scores, fps=fps, moves=moves, valid=valid)
+        return Neighborhood(scores=scores, moves=moves, valid=valid)
+
+    def move_fp(x, cur_fp, moves, idx):
+        dims, new_vals = moves
+        dim = dims[idx]
+        return fp_update(
+            cur_fp,
+            dim,
+            x[dim].view(jnp.int32).astype(jnp.uint32),
+            new_vals[idx].view(jnp.int32).astype(jnp.uint32),
+        )
 
     def apply_move(x, moves, idx):
         dims, new_vals = moves
@@ -105,11 +108,18 @@ def make_ackley_problem(
     def perturb(x, _is_elite, key):
         # Weighted strategy {ChangeSubset: 100, DoNothing: 10}
         # (ref ackley.rs:215-224); subset size ~ U[0, d) (ref :246).
-        k_strat, k_n, k_perm, k_noise = jax.random.split(key, 4)
+        k_strat, k_n, k_u, k_noise = jax.random.split(key, 4)
         do_change = jax.random.uniform(k_strat) < (100.0 / 110.0)
         n_alter = jax.random.randint(k_n, (), 0, d)
-        order = jax.random.permutation(k_perm, d)
-        alter = jnp.zeros((d,), bool).at[order].set(jnp.arange(d) < n_alter)
+        u = jax.random.uniform(k_u, (d,))
+        kth = jnp.where(
+            n_alter > 0,
+            jax.lax.dynamic_index_in_dim(
+                jnp.sort(u), jnp.maximum(n_alter - 1, 0), keepdims=False
+            ),
+            -1.0,
+        )
+        alter = u <= kth
         noise = jax.random.normal(k_noise, (d,), jnp.float32)
         perturbed = jnp.clip(x + noise, X_MIN, X_MAX)
         return jnp.where(do_change & alter, perturbed, x)
@@ -121,6 +131,7 @@ def make_ackley_problem(
         is_best=is_best,
         fingerprint=fingerprint,
         neighborhood=neighborhood,
+        move_fp=move_fp,
         apply_move=apply_move,
         perturb=perturb,
     )

@@ -50,13 +50,30 @@ from constraint_solver_tpu.ops.lex import make_score
 
 
 def line_counts(rows: jax.Array):
-    """Occupancy counters (row_counts[n], diag_counts[2n-1], anti[2n-1])."""
+    """Occupancy counters (row_counts[n], diag_counts[2n-1], anti[2n-1]).
+
+    One-hot-compare reductions, NOT scatter-adds: TPU scatters with random
+    1D indices serialize to scalar stores, while the [L, n] equality compare
+    + sum streams through the VPU and fuses without materializing.
+    """
     n = rows.shape[-1]
     cols = jnp.arange(n, dtype=rows.dtype)
-    rc = jnp.zeros((n,), jnp.int32).at[rows].add(1)
-    dc = jnp.zeros((2 * n - 1,), jnp.int32).at[rows - cols + (n - 1)].add(1)
-    ac = jnp.zeros((2 * n - 1,), jnp.int32).at[rows + cols].add(1)
+    f32 = jnp.float32
+    iota_n = jnp.arange(n, dtype=rows.dtype)
+    iota_l = jnp.arange(2 * n - 1, dtype=rows.dtype)
+    d = rows - cols + (n - 1)
+    a = rows + cols
+    rc = jnp.sum((rows[None, :] == iota_n[:, None]).astype(f32), axis=-1)
+    dc = jnp.sum((d[None, :] == iota_l[:, None]).astype(f32), axis=-1)
+    ac = jnp.sum((a[None, :] == iota_l[:, None]).astype(f32), axis=-1)
     return rc, dc, ac
+
+
+def _take_1d(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Vectorized gather table[idx] as a one-hot contraction (gather-free)."""
+    iota = jnp.arange(table.shape[0], dtype=idx.dtype)
+    onehot = (idx[..., None] == iota).astype(table.dtype)
+    return jnp.sum(onehot * table, axis=-1)
 
 
 def total_conflicts(rows: jax.Array) -> jax.Array:
@@ -73,9 +90,9 @@ def col_scores(rows: jax.Array) -> jax.Array:
     cols = jnp.arange(n, dtype=rows.dtype)
     rc, dc, ac = line_counts(rows)
     return (
-        (rc[rows] - 1)
-        + (dc[rows - cols + (n - 1)] - 1)
-        + (ac[rows + cols] - 1)
+        (_take_1d(rc, rows) - 1)
+        + (_take_1d(dc, rows - cols + (n - 1)) - 1)
+        + (_take_1d(ac, rows + cols) - 1)
     ).astype(jnp.int32)
 
 
@@ -118,42 +135,53 @@ def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Pro
         num_cols = jax.random.randint(k_num, (), 1, amount + 1)
         col_valid = jnp.arange(a_max) < jnp.minimum(num_cols, n_conflicted)
 
-        c = chosen_cols.astype(jnp.int32)           # [A]
-        r = rows[c]                                  # [A] current rows
+        c = chosen_cols.astype(jnp.int32)            # [A]
+        r = _take_1d(rows.astype(jnp.float32), c).astype(jnp.int32)  # [A]
         d = r - c + (n - 1)
         a = r + c
         rc, dc, ac = line_counts(rows)
 
         # Remove the queen from its lines: each line loses 2*(k-1).
-        removed = (rc[r] - 1) + (dc[d] - 1) + (ac[a] - 1)  # [A]
+        removed = (
+            (_take_1d(rc, r) - 1) + (_take_1d(dc, d) - 1) + (_take_1d(ac, a) - 1)
+        )  # [A]
 
         rp = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, n] candidate rows
+        # dc[rp - c_j + (n-1)] and ac[rp + c_j] are CONTIGUOUS slices of the
+        # diagonal tables (length n, start n-1-c_j resp. c_j) — dynamic
+        # slices, not gathers.
+        dc_at = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(dc, (s,), (n,))
+        )((n - 1) - c)  # [A, n]
+        ac_at = jax.vmap(lambda s: jax.lax.dynamic_slice(ac, (s,), (n,)))(c)
         dp = rp - c[:, None] + (n - 1)                # [A, n]
         ap = rp + c[:, None]
         added = (
-            (rc[rp[0]][None, :] - (rp == r[:, None]))
-            + (dc[dp] - (dp == d[:, None]))
-            + (ac[ap] - (ap == a[:, None]))
+            (rc[None, :] - (rp == r[:, None]))
+            + (dc_at - (dp == d[:, None]))
+            + (ac_at - (ap == a[:, None]))
         )  # [A, n]
 
         delta = 2 * (added - removed[:, None])
         cand_hard = cur_score[0] + delta.astype(jnp.float32)  # [A, n]
         scores = make_score(cand_hard.reshape(-1))
 
-        fp0 = fingerprint_i32(rows)
-        fps = fp_update(
-            fp0[None, None, :],
-            jnp.broadcast_to(c[:, None], (a_max, n)),
-            jnp.broadcast_to(r[:, None], (a_max, n)).astype(jnp.uint32),
-            jnp.broadcast_to(rp, (a_max, n)).astype(jnp.uint32),
-        ).reshape(-1, 2)
-
         moves = (
             jnp.broadcast_to(c[:, None], (a_max, n)).reshape(-1),
             jnp.broadcast_to(rp, (a_max, n)).reshape(-1).astype(jnp.int32),
         )
         valid = jnp.broadcast_to(col_valid[:, None], (a_max, n)).reshape(-1)
-        return Neighborhood(scores=scores, fps=fps, moves=moves, valid=valid)
+        return Neighborhood(scores=scores, moves=moves, valid=valid)
+
+    def move_fp(rows, cur_fp, moves, idx):
+        cols_mv, new_rows = moves
+        col = cols_mv[idx]
+        return fp_update(
+            cur_fp,
+            col,
+            rows[col].astype(jnp.uint32),
+            new_rows[idx].astype(jnp.uint32),
+        )
 
     def apply_move(rows, moves, idx):
         cols_mv, new_rows = moves
@@ -162,12 +190,15 @@ def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Pro
     def perturb(rows, is_elite, key):
         # {ChangeSubset: 100, DoNothing: 10} (ref lib.rs:274-283);
         # k ~ U[1, n/20] near elites else U[1, n/2] (ref lib.rs:304-307).
-        k_strat, k_n, k_perm, k_rows = jax.random.split(key, 4)
+        k_strat, k_n, k_u, k_rows = jax.random.split(key, 4)
         do_change = jax.random.uniform(k_strat) < (100.0 / 110.0)
         hi = jnp.where(is_elite, max(1, n // 20), max(1, n // 2))
         n_alter = jax.random.randint(k_n, (), 1, hi + 1)
-        order = jax.random.permutation(k_perm, n)
-        alter = jnp.zeros((n,), bool).at[order].set(jnp.arange(n) < n_alter)
+        # k random distinct positions, scatter-free: threshold the uniform
+        # draw at its k-th order statistic.
+        u = jax.random.uniform(k_u, (n,))
+        kth = jax.lax.dynamic_index_in_dim(jnp.sort(u), n_alter - 1, keepdims=False)
+        alter = u <= kth
         new_rows = jax.random.randint(k_rows, (n,), 0, n, jnp.int32)
         return jnp.where(do_change & alter, new_rows, rows)
 
@@ -178,6 +209,7 @@ def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Pro
         is_best=is_best,
         fingerprint=fingerprint,
         neighborhood=neighborhood,
+        move_fp=move_fp,
         apply_move=apply_move,
         perturb=perturb,
     )

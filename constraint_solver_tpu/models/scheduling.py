@@ -206,9 +206,11 @@ def make_scheduling_problem(spec: ScheduleSpec, window_size: int = 100) -> Probl
 
         cands = jax.vmap(build)(is_swap, d1, d2, new_emp)  # [W, D]
         scores = jax.vmap(score)(cands)                    # [W, 2]
-        fps = jax.vmap(fingerprint_i32)(cands)             # [W, 2]
         valid = jnp.ones((w_size,), bool)
-        return Neighborhood(scores=scores, fps=fps, moves=cands, valid=valid)
+        return Neighborhood(scores=scores, moves=cands, valid=valid)
+
+    def move_fp(_assign, _cur_fp, moves, idx):
+        return fingerprint_i32(moves[idx])
 
     def apply_move(assign, moves, idx):
         return moves[idx]
@@ -216,14 +218,13 @@ def make_scheduling_problem(spec: ScheduleSpec, window_size: int = 100) -> Probl
     def perturb(assign, is_elite, key):
         # {ChangeDaysSubsetRandomly: 100, DoNothing: 10} (ref :572-579);
         # k ~ U[1, D/20] near elites else U[1, D/2] (ref :600-603).
-        k_strat, k_n, k_perm, k_emp = jax.random.split(key, 4)
+        k_strat, k_n, k_u, k_emp = jax.random.split(key, 4)
         do_change = jax.random.uniform(k_strat) < (100.0 / 110.0)
         hi = jnp.where(is_elite, max(1, d_days // 20), max(1, d_days // 2))
         n_alter = jax.random.randint(k_n, (), 1, hi + 1)
-        order = jax.random.permutation(k_perm, d_days)
-        alter = jnp.zeros((d_days,), bool).at[order].set(
-            jnp.arange(d_days) < n_alter
-        )
+        u = jax.random.uniform(k_u, (d_days,))
+        kth = jax.lax.dynamic_index_in_dim(jnp.sort(u), n_alter - 1, keepdims=False)
+        alter = u <= kth
         new_emp = jax.random.randint(k_emp, (d_days,), 0, n_emp, jnp.int32)
         return jnp.where(do_change & alter, new_emp, assign)
 
@@ -234,6 +235,7 @@ def make_scheduling_problem(spec: ScheduleSpec, window_size: int = 100) -> Probl
         is_best=is_best,
         fingerprint=fingerprint,
         neighborhood=neighborhood,
+        move_fp=move_fp,
         apply_move=apply_move,
         perturb=perturb,
     )

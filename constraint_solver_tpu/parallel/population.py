@@ -105,6 +105,14 @@ class PopulationSolver:
         self._round_jit = jax.jit(round_fn)
         self._chunk_jit = jax.jit(run_chunk, static_argnums=1)
 
+        @jax.jit
+        def best_score(st: IlsState):
+            scores, _, _ = jax.vmap(lambda e: e.get_best())(st.elite)
+            return scores[lex_argmin(scores)]
+
+        # Cheap convergence probe: transfers 8 bytes, not the elite arrays.
+        self._best_score_jit = best_score
+
     # -- driver API (mirrors core.ils.Solver) ----------------------------
 
     def execute_round(self) -> None:
@@ -141,13 +149,13 @@ class PopulationSolver:
         total = self.config.iterated_local_search_max_iterations
         if max_rounds is not None:
             total = min(total, self._round_count() + max_rounds)
-        while not self.cancelled and self._round_count() < total:
-            n = min(chunk, total - self._round_count())
+        rounds_done = self._round_count()
+        while not self.cancelled and rounds_done < total:
+            n = min(chunk, total - rounds_done)
             self.state = self._chunk_jit(self.state, n)
-            (hard, soft), _ = self.get_best_solution()
-            if bool(
-                self.problem.is_best(jnp.asarray([hard, soft], jnp.float32))
-            ):
+            rounds_done += n
+            score = jnp.asarray(self._best_score_jit(self.state))
+            if bool(self.problem.is_best(score)):
                 break
 
     def stats(self) -> dict:

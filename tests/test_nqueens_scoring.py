@@ -73,16 +73,18 @@ def test_neighborhood_delta_matches_full_rescore():
                 )
 
 
-def test_neighborhood_fingerprints_match_full():
+def test_move_fingerprints_match_full():
     n = 16
     problem = make_nqueens_problem(n)
     rows = jnp.asarray(np.random.default_rng(7).integers(0, n, size=n), jnp.int32)
+    cur_fp = problem.fingerprint(rows)
     nb = problem.neighborhood(rows, problem.score(rows), jax.random.key(0))
     cols_mv, new_rows = nb.moves
     for i in range(0, cols_mv.shape[0], 7):
         applied = rows.at[int(cols_mv[i])].set(int(new_rows[i]))
         np.testing.assert_array_equal(
-            np.asarray(problem.fingerprint(applied)), np.asarray(nb.fps[i])
+            np.asarray(problem.fingerprint(applied)),
+            np.asarray(problem.move_fp(rows, cur_fp, nb.moves, i)),
         )
 
 
