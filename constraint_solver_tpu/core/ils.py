@@ -251,6 +251,25 @@ class Solver:
             if bool(self.problem.is_best(score)):
                 break
 
+    # -- checkpoint / resume (SURVEY.md §5) -------------------------------
+
+    def save(self, path: str) -> None:
+        from constraint_solver_tpu.utils.checkpoint import save_state
+
+        save_state(
+            path,
+            self.state,
+            {"problem": self.problem.name, "seed": self.config.seed},
+        )
+
+    def load(self, path: str) -> None:
+        from constraint_solver_tpu.utils.checkpoint import load_state
+
+        self.state, meta = load_state(path, self.state)
+        assert meta.get("problem") == self.problem.name, (
+            f"checkpoint is for {meta.get('problem')}, solver is {self.problem.name}"
+        )
+
     # -- metrics ----------------------------------------------------------
 
     def stats(self) -> dict:

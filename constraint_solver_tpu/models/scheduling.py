@@ -92,7 +92,20 @@ class ScheduleSpec:
         return self.weekdays() >= 5  # Sat=5, Sun=6
 
 
-def make_scheduling_problem(spec: ScheduleSpec, window_size: int = 100) -> Problem:
+def make_scheduling_problem(
+    spec: ScheduleSpec, window_size: int = 100, proposer: str = "random"
+) -> Problem:
+    """``proposer``:
+
+    - "random": the reference's used proposer — an infinite random
+      ChangeDay/SwapDays stream truncated to ``window_size``
+      (ref ScheduleRandomMoveProposer, lib.rs:428-491);
+    - "systematic": the reference's deterministic rotate-each-day-through-
+      all-successor-employees neighborhood (ref ScheduleMoveProposer,
+      lib.rs:493-559 — constructed but commented out at lib.rs:59-60);
+      employees are ordered by id, successor = (e + 1) mod E, yielding
+      D x (E-1) candidates.
+    """
     d_days = spec.num_days
     n_emp = spec.num_employees
     w_size = window_size
@@ -186,6 +199,20 @@ def make_scheduling_problem(spec: ScheduleSpec, window_size: int = 100) -> Probl
     def fingerprint(assign):
         return fingerprint_i32(assign)
 
+    def neighborhood_systematic(assign, _cur_score, _key):
+        # Every day rotated through its E-1 successor employees.
+        offs = jnp.arange(1, n_emp, dtype=jnp.int32)  # [E-1]
+        day_idx = jnp.arange(d_days, dtype=jnp.int32)  # [D]
+        new_vals = (assign[:, None] + offs[None, :]) % n_emp  # [D, E-1]
+        day_onehot = day_idx[:, None, None] == day_idx[None, None, :]  # [D,1,D]
+        cands = jnp.where(
+            day_onehot, new_vals[:, :, None], assign[None, None, :]
+        )  # [D, E-1, D]
+        cands = cands.reshape(-1, d_days)
+        scores = jax.vmap(score)(cands)
+        valid = jnp.ones((cands.shape[0],), bool)
+        return Neighborhood(scores=scores, moves=cands, valid=valid)
+
     def neighborhood(assign, _cur_score, key):
         k_type, k_d1, k_off, k_emp = jax.random.split(key, 4)
         # Move types ~ {ChangeDay: 1, SwapDays: 4} (ref lib.rs:435).
@@ -234,7 +261,9 @@ def make_scheduling_problem(spec: ScheduleSpec, window_size: int = 100) -> Probl
         score=score,
         is_best=is_best,
         fingerprint=fingerprint,
-        neighborhood=neighborhood,
+        neighborhood=(
+            neighborhood if proposer == "random" else neighborhood_systematic
+        ),
         move_fp=move_fp,
         apply_move=apply_move,
         perturb=perturb,

@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 
 # Sentinel "worse than anything" score used for masked-out candidates.
-INF_SCORE = jnp.float32(jnp.inf)
+# (A plain float, NOT a jnp scalar: creating a device array at import time
+# would initialize the JAX backend before callers can pick a platform.)
+INF_SCORE = float("inf")
 
 
 def make_score(hard, soft=0.0, dtype=jnp.float32) -> jax.Array:

@@ -160,7 +160,30 @@ class PopulationSolver:
 
     def stats(self) -> dict:
         return {
-            "rounds": int(self.state.round[0]),
+            "rounds": self._round_count(),
             "population": self.population,
             "ls_iterations": int(jnp.sum(self.state.ls_iters_total)),
         }
+
+    # -- checkpoint / resume (SURVEY.md §5) -------------------------------
+
+    def save(self, path: str) -> None:
+        from constraint_solver_tpu.utils.checkpoint import save_state
+
+        save_state(
+            path,
+            self.state,
+            {
+                "problem": self.problem.name,
+                "seed": self.config.seed,
+                "population": self.population,
+            },
+        )
+
+    def load(self, path: str) -> None:
+        from constraint_solver_tpu.utils.checkpoint import load_state
+
+        self.state, meta = load_state(path, self.state)
+        assert meta.get("population") == self.population
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, pop_sharding(self.mesh))

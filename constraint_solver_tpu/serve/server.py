@@ -1,0 +1,292 @@
+"""Round-based solver service — the reference's L4/L5 serving stack.
+
+The reference serves employee scheduling to a browser through a wasm bridge
+with an opaque solver context and per-tick stepping (reference
+web/employee-scheduling-wasm-bindgen/src/lib.rs:13-110), driven by a Web
+Worker message loop (web/employee-scheduling/src/worker.ts:1-29) and a Vue
+form UI (web/employee-scheduling/src/index.ts:1-97).  The capability being
+preserved (SURVEY.md §3.3): **incremental, cancellable, progress-reporting
+solving that never blocks the UI**.
+
+TPU-native equivalent: a small HTTP service (stdlib only) holding live
+solver contexts; each round executes on-device and returns the same payload
+shape the worker posts back: ``{isFinished, iterationInfo, result}``.
+
+API (mirroring the wasm exports):
+- ``POST /api/solvers``                 -> create_solver    (lib.rs:19-53)
+- ``POST /api/solvers/<id>/round``      -> execute_solver_round + info + best
+- ``GET  /api/solvers/<id>/best``       -> get_best_solution (lib.rs:72-84)
+- ``GET  /api/solvers/<id>/info``       -> get_iteration_info
+- ``DELETE /api/solvers/<id>``          -> cancel + free
+- ``GET  /``                            -> single-file web UI
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_WEEKDAYS = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+
+# Reference wasm-bridge hyperparameters (wasm lib.rs:30-37).
+_DEFAULTS = dict(
+    seed="42",
+    local_search_max_iterations=1_000,
+    window_size=100,
+    best_solutions_capacity=64,
+    all_solutions_capacity=512,
+    all_solution_iteration_expiry=1_000,
+    iterated_local_search_max_iterations=250,
+    max_allow_no_improvement_for=20,
+)
+
+
+class SolverService:
+    """Holds live solver contexts (the wasm ``SolverContext`` pattern)."""
+
+    def __init__(self) -> None:
+        self._solvers: dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    def create(self, payload: dict) -> str:
+        from constraint_solver_tpu.core.ils import Solver, SolverConfig
+        from constraint_solver_tpu.models.scheduling import (
+            ScheduleSpec,
+            make_scheduling_problem,
+        )
+
+        start = datetime.date.fromisoformat(payload["startDate"])
+        end = datetime.date.fromisoformat(payload["endDate"])
+        employees = [e["id"] for e in payload.get("employees", [])]
+        holidays = {
+            emp["id"]: [datetime.date.fromisoformat(d) for d in days]
+            for emp, days in zip(
+                payload.get("employees", []), payload.get("employeeHolidays", [])
+            )
+        }
+        if not employees:
+            raise ValueError("at least one employee required")
+        if end < start:
+            raise ValueError("endDate before startDate")
+        params = {**_DEFAULTS, **{
+            k: payload[k] for k in _DEFAULTS if k in payload
+        }}
+        spec = ScheduleSpec.from_dates(start, end, len(employees), {
+            employees.index(e): days for e, days in holidays.items()
+        })
+        problem = make_scheduling_problem(spec, window_size=params["window_size"])
+        config_kwargs = {k: v for k, v in params.items() if k != "window_size"}
+        solver = Solver(problem, SolverConfig(**config_kwargs))
+        sid = uuid.uuid4().hex[:12]
+        with self._lock:
+            self._solvers[sid] = {
+                "solver": solver,
+                "start": start,
+                "employees": employees,
+                "lock": threading.Lock(),
+            }
+        return sid
+
+    def _ctx(self, sid: str) -> dict:
+        with self._lock:
+            if sid not in self._solvers:
+                raise KeyError(sid)
+            return self._solvers[sid]
+
+    def round(self, sid: str) -> dict:
+        ctx = self._ctx(sid)
+        with ctx["lock"]:
+            solver = ctx["solver"]
+            solver.execute_round()
+            return {
+                "isFinished": solver.is_finished(),
+                "iterationInfo": solver.get_iteration_info(),
+                "result": self._best_payload(ctx),
+            }
+
+    def best(self, sid: str) -> dict:
+        ctx = self._ctx(sid)
+        with ctx["lock"]:
+            return self._best_payload(ctx)
+
+    def info(self, sid: str) -> dict:
+        ctx = self._ctx(sid)
+        with ctx["lock"]:
+            return ctx["solver"].get_iteration_info()
+
+    def delete(self, sid: str) -> None:
+        with self._lock:
+            ctx = self._solvers.pop(sid, None)
+        if ctx:
+            ctx["solver"].cancel()
+
+    def _best_payload(self, ctx: dict) -> dict:
+        """The wasm get_best_solution shape: score + '%a %Y-%m-%d' day keys
+        (wasm lib.rs:71-84)."""
+        (hard, soft), assign = ctx["solver"].get_best_solution()
+        start = ctx["start"]
+        employees = ctx["employees"]
+        days = []
+        for i, emp_idx in enumerate(assign.tolist()):
+            day = start + datetime.timedelta(days=i)
+            label = f"{_WEEKDAYS[day.weekday()]} {day.isoformat()}"
+            days.append([label, {"id": employees[emp_idx]}])
+        return {
+            "score": {"hard_score": hard, "soft_score": soft},
+            "days_to_employees": days,
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: SolverService = None  # set by run_server
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _send(self, code: int, body, content_type="application/json"):
+        data = (
+            body.encode() if isinstance(body, str) else json.dumps(body).encode()
+        )
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _route(self, method: str):
+        parts = [p for p in self.path.split("/") if p]
+        try:
+            if method == "GET" and not parts:
+                return self._send(200, _INDEX_HTML, "text/html")
+            if parts[:2] == ["api", "solvers"]:
+                if method == "POST" and len(parts) == 2:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    sid = self.service.create(payload)
+                    return self._send(200, {"solverId": sid})
+                if len(parts) >= 3:
+                    sid = parts[2]
+                    if method == "POST" and parts[3:] == ["round"]:
+                        return self._send(200, self.service.round(sid))
+                    if method == "GET" and parts[3:] == ["best"]:
+                        return self._send(200, self.service.best(sid))
+                    if method == "GET" and parts[3:] == ["info"]:
+                        return self._send(200, self.service.info(sid))
+                    if method == "DELETE" and len(parts) == 3:
+                        self.service.delete(sid)
+                        return self._send(200, {"ok": True})
+            return self._send(404, {"error": f"no route {method} {self.path}"})
+        except KeyError as e:
+            return self._send(404, {"error": f"unknown solver {e}"})
+        except (ValueError, json.JSONDecodeError) as e:
+            return self._send(400, {"error": str(e)})
+
+    def do_GET(self):
+        self._route("GET")
+
+    def do_POST(self):
+        self._route("POST")
+
+    def do_DELETE(self):
+        self._route("DELETE")
+
+
+def run_server(host="127.0.0.1", port=8787, service: SolverService | None = None):
+    """Start the HTTP server (blocking).  Returns the server object if you
+    run it on your own thread: ``srv = run_server(...); srv.serve_forever()``
+    is handled internally when called directly."""
+    handler = type("Handler", (_Handler,), {"service": service or SolverService()})
+    server = ThreadingHTTPServer((host, port), handler)
+    return server
+
+
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Employee scheduling — TPU solver</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:52rem}
+ fieldset{margin-bottom:1rem;border:1px solid #ccc;border-radius:6px}
+ table{border-collapse:collapse;margin-top:1rem}
+ td,th{border:1px solid #ddd;padding:2px 8px;font-size:0.9rem}
+ button{margin-right:0.5rem}
+ .score{font-weight:bold}
+</style></head>
+<body>
+<h1>Employee scheduling</h1>
+<p>Round-based incremental solve on the TPU solver service — the browser UI
+never blocks; each tick runs one ILS round (same contract as the reference
+Web Worker loop).</p>
+<fieldset><legend>Problem</legend>
+ Start <input type="date" id="start" value="2022-05-09">
+ End <input type="date" id="end" value="2022-06-08">
+ Employees <input type="number" id="nemp" value="7" min="1" max="50">
+</fieldset>
+<button id="startBtn">Start solving</button>
+<button id="cancelBtn" disabled>Cancel</button>
+<div id="progress"></div>
+<div id="score" class="score"></div>
+<table id="result"></table>
+<script>
+let solverId = null, cancelled = false;
+const $ = id => document.getElementById(id);
+async function api(method, path, body) {
+  const r = await fetch(path, {method, headers:{'Content-Type':'application/json'},
+                               body: body ? JSON.stringify(body) : undefined});
+  return r.json();
+}
+$('startBtn').onclick = async () => {
+  cancelled = false; $('startBtn').disabled = true; $('cancelBtn').disabled = false;
+  const n = +$('nemp').value;
+  const employees = Array.from({length:n}, (_,i)=>({id:i}));
+  const res = await api('POST','/api/solvers', {
+    startDate: $('start').value, endDate: $('end').value,
+    employees, employeeHolidays: employees.map(()=>[])});
+  solverId = res.solverId;
+  tick();
+};
+$('cancelBtn').onclick = async () => {
+  cancelled = true; $('cancelBtn').disabled = true; $('startBtn').disabled = false;
+  if (solverId) await api('DELETE', `/api/solvers/${solverId}`);
+};
+async function tick() {
+  if (cancelled || !solverId) return;
+  const r = await api('POST', `/api/solvers/${solverId}/round`);
+  render(r);
+  if (!r.isFinished && !cancelled) setTimeout(tick, 0);
+  else { $('startBtn').disabled = false; $('cancelBtn').disabled = true; }
+}
+function render(r) {
+  $('progress').textContent =
+    `round ${r.iterationInfo.current} / ${r.iterationInfo.total}`;
+  $('score').textContent =
+    `hard ${r.result.score.hard_score}  soft ${r.result.score.soft_score}`;
+  $('result').innerHTML = '<tr><th>day</th><th>employee</th></tr>' +
+    r.result.days_to_employees.map(([d,e]) =>
+      `<tr><td>${d}</td><td>${e.id}</td></tr>`).join('');
+}
+</script></body></html>
+"""
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser(description="TPU solver HTTP service")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    args = parser.parse_args()
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    print(f"devices: {jax.devices()}", flush=True)
+    server = run_server(args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Checkpoint / resume.
+
+The reference has no checkpointing; its closest analog is the wasm
+``SolverContext`` keeping full ILS state alive across calls so solving is
+incremental within a session (reference
+web/employee-scheduling-wasm-bindgen/src/lib.rs:13-16,55-58; SURVEY.md §5).
+Here a checkpoint is the exact solver state — assignment tensors, elite
+archive, tabu ring, PRNG key, step counters — serialized as a flat pytree to
+one ``.npz`` file.  Resume is bit-exact: a resumed run continues the same
+deterministic trajectory.
+
+Works for both ``Solver`` (single trajectory) and ``PopulationSolver``
+(leading population axis on every leaf); sharded states are gathered to host
+on save and re-placed by the caller on load.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import numpy as np
+
+from constraint_solver_tpu.core.history import EliteArchive, TabuRing
+from constraint_solver_tpu.core.ils import IlsState
+
+_FORMAT_VERSION = 1
+
+
+def save_state(path: str, state: IlsState, meta: dict | None = None) -> None:
+    """Serialize an IlsState (single or population) to ``path`` (.npz)."""
+    leaves, _treedef = jax.tree.flatten(state)
+    key_idx = [
+        i
+        for i, leaf in enumerate(leaves)
+        if hasattr(leaf, "dtype")
+        and jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+    ]
+    key_set = set(key_idx)
+    arrays = {
+        f"leaf_{i}": np.asarray(
+            jax.random.key_data(leaf) if i in key_set else leaf
+        )
+        for i, leaf in enumerate(leaves)
+    }
+    header = json.dumps(
+        {
+            "version": _FORMAT_VERSION,
+            "num_leaves": len(leaves),
+            "meta": meta or {},
+        }
+    )
+    arrays["__header__"] = np.frombuffer(header.encode(), dtype=np.uint8)
+    arrays["__key_leaves__"] = np.asarray(key_idx, dtype=np.int64)
+    np.savez(path, **arrays)
+
+
+def load_state(path: str, example: IlsState) -> tuple[IlsState, dict]:
+    """Load a checkpoint; ``example`` provides the pytree structure (build it
+    with the same problem/config used at save time)."""
+    with np.load(path) as data:
+        header = json.loads(bytes(data["__header__"]).decode())
+        assert header["version"] == _FORMAT_VERSION, header
+        key_leaves = set(data["__key_leaves__"].tolist())
+        _, treedef = jax.tree.flatten(example)
+        leaves = []
+        for i in range(header["num_leaves"]):
+            arr = data[f"leaf_{i}"]
+            if i in key_leaves:
+                leaves.append(jax.random.wrap_key_data(arr))
+            else:
+                leaves.append(arr)
+        return jax.tree.unflatten(treedef, leaves), header["meta"]
+
+
+__all__ = ["save_state", "load_state", "EliteArchive", "TabuRing", "IlsState"]

@@ -1,0 +1,97 @@
+"""Serve layer tests: the wasm-bridge-shaped HTTP contract
+(ref web/employee-scheduling-wasm-bindgen/src/lib.rs + worker.ts protocol)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from constraint_solver_tpu.serve.server import SolverService, run_server
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    server = run_server("127.0.0.1", 0, SolverService())
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _req(url, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_full_worker_protocol(server_url):
+    # create_solver (wasm lib.rs:19-53 input shape)
+    status, res = _req(server_url + "/api/solvers", "POST", {
+        "startDate": "2022-05-09",
+        "endDate": "2022-05-22",
+        "employees": [{"id": 0}, {"id": 1}, {"id": 2}, {"id": 3}],
+        "employeeHolidays": [[], ["2022-05-10"], [], []],
+        "iterated_local_search_max_iterations": 5,
+        "local_search_max_iterations": 100,
+    })
+    assert status == 200
+    sid = res["solverId"]
+
+    # worker tick loop: one round per message until finished (worker.ts:7-27)
+    ticks = 0
+    while True:
+        status, r = _req(f"{server_url}/api/solvers/{sid}/round", "POST")
+        assert status == 200
+        assert set(r) == {"isFinished", "iterationInfo", "result"}
+        ticks += 1
+        if r["isFinished"]:
+            break
+        assert ticks < 20
+    assert r["iterationInfo"]["current"] == 5
+    assert r["result"]["score"]["hard_score"] >= 0
+    # days_to_employees uses the '%a %Y-%m-%d' label format (wasm lib.rs:80)
+    day0, emp0 = r["result"]["days_to_employees"][0]
+    assert day0 == "Mon 2022-05-09"
+    assert "id" in emp0
+    assert len(r["result"]["days_to_employees"]) == 14
+
+    # info + best endpoints
+    status, info = _req(f"{server_url}/api/solvers/{sid}/info")
+    assert (status, info["current"]) == (200, 5)
+    status, best = _req(f"{server_url}/api/solvers/{sid}/best")
+    assert status == 200 and "score" in best
+
+    # cancel/free
+    status, _ = _req(f"{server_url}/api/solvers/{sid}", "DELETE")
+    assert status == 200
+    status, _ = _req(f"{server_url}/api/solvers/{sid}/info")
+    assert status == 404
+
+
+def test_validation_errors(server_url):
+    status, err = _req(server_url + "/api/solvers", "POST", {
+        "startDate": "2022-05-09", "endDate": "2022-05-01",
+        "employees": [{"id": 0}], "employeeHolidays": [[]],
+    })
+    assert status == 400 and "endDate" in err["error"]
+    status, err = _req(server_url + "/api/solvers", "POST", {
+        "startDate": "2022-05-09", "endDate": "2022-05-10",
+        "employees": [], "employeeHolidays": [],
+    })
+    assert status == 400
+    status, _ = _req(server_url + "/api/solvers/nope/round", "POST")
+    assert status == 404
+
+
+def test_index_page(server_url):
+    with urllib.request.urlopen(server_url + "/") as resp:
+        html = resp.read().decode()
+    assert "Employee scheduling" in html
+    assert "Start solving" in html
