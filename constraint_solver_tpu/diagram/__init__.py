@@ -1,0 +1,10 @@
+from constraint_solver_tpu.diagram.geometry import (  # noqa: F401
+    Diagram,
+    GeomBox,
+    OrthogonalVisibilityGraph,
+    Padding,
+    Ports,
+    interesting_horizontal_segments,
+    interesting_vertical_segments,
+    render_svg,
+)
