@@ -57,12 +57,12 @@ def main(argv=None):
     else:
         solver = Solver(problem, config)
     solver.run()
-    (hard, _soft), rows = solver.get_best_solution()
+    (hard, _soft), best_state = solver.get_best_solution()
     wall = time.time() - t0
 
     if not args.quiet:
         print("result.solution:")
-        print(format_board(rows))
+        print(format_board(best_state.rows))
     print(f"result.score: {int(hard)}")
     stats = solver.stats()
     print(f"stats: {stats} wall: {wall:.2f}s")

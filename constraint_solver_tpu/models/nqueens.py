@@ -34,12 +34,21 @@ as one dense gather+add tensor op on the VPU.
 Weighted sampling without replacement is Gumbel-top-k (the exact
 Plackett-Luce equivalent of successive weighted draws); see SURVEY.md §7
 "hard parts" item 3.  Divergence note: the reference subsamples ``num_cols``
-of its ``amount`` drawn columns uniformly; we take the first ``num_cols`` of
+of its ``amount`` drawn columns uniquely; we take the first ``num_cols`` of
 the Gumbel order (already a random weighted order) — same support, slightly
 different inclusion probabilities.
+
+The solver state ``NQState`` carries the line counters and per-column
+conflict scores INCREMENTALLY: applying a move updates 6 counter entries
+and does one O(n) elementwise fix-up of the column scores, so a local-search
+iteration costs O(A x n) for the candidate block instead of O(n^2) counter
+rebuilds.  Counters are rebuilt from scratch only on init/perturb/restart
+(once per ILS round).
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +56,18 @@ import jax.numpy as jnp
 from constraint_solver_tpu.core.problem import Neighborhood, Problem
 from constraint_solver_tpu.ops.fingerprint import fingerprint_i32, fp_update
 from constraint_solver_tpu.ops.lex import make_score
+
+
+class NQState(NamedTuple):
+    """N-Queens solver state: the board plus incrementally-maintained
+    counters.  Solution identity (fingerprint/archive/tabu) is ``rows``
+    alone; the rest is derived."""
+
+    rows: jax.Array  # int32[n]
+    rc: jax.Array    # float32[n]      row occupancy
+    dc: jax.Array    # float32[2n-1]   diagonal occupancy (r - c + n-1)
+    ac: jax.Array    # float32[2n-1]   anti-diagonal occupancy (r + c)
+    cs: jax.Array    # float32[n]      per-column conflict counts
 
 
 def line_counts(rows: jax.Array):
@@ -96,6 +117,20 @@ def col_scores(rows: jax.Array) -> jax.Array:
     ).astype(jnp.int32)
 
 
+def build_state(rows: jax.Array) -> NQState:
+    """Construct the full counter state from a bare board (O(n^2) one-hots;
+    used at init / perturbation / restart, not in the inner loop)."""
+    n = rows.shape[-1]
+    cols = jnp.arange(n, dtype=rows.dtype)
+    rc, dc, ac = line_counts(rows)
+    cs = (
+        (_take_1d(rc, rows) - 1)
+        + (_take_1d(dc, rows - cols + (n - 1)) - 1)
+        + (_take_1d(ac, rows + cols) - 1)
+    )
+    return NQState(rows=rows, rc=rc, dc=dc, ac=ac, cs=cs)
+
+
 def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Problem:
     """Build the N-Queens problem.  ``sample_cols`` (A) is the number of
     conflicted columns sampled per proposal; default ``max(1, n // 20)``
@@ -105,20 +140,23 @@ def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Pro
 
     def init(key):
         # Random permutation start (ref lib.rs:152-161).
-        return jax.random.permutation(key, jnp.arange(n, dtype=jnp.int32))
+        return build_state(
+            jax.random.permutation(key, jnp.arange(n, dtype=jnp.int32))
+        )
 
-    def score(rows):
-        return make_score(total_conflicts(rows))
+    def score(state):
+        s = lambda c: jnp.sum(c * (c - 1))
+        return make_score(s(state.rc) + s(state.dc) + s(state.ac))
 
     def is_best(s):
         return s[0] == 0
 
-    def fingerprint(rows):
-        return fingerprint_i32(rows)
+    def fingerprint(state):
+        return fingerprint_i32(state.rows)
 
-    def neighborhood(rows, cur_score, key):
+    def neighborhood(state, cur_score, key):
+        rows, rc, dc, ac, cs = state
         k_gumbel, k_num = jax.random.split(key)
-        cs = col_scores(rows)  # [n]
         conflicted = cs > 0
         n_conflicted = jnp.sum(conflicted)
 
@@ -139,7 +177,6 @@ def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Pro
         r = _take_1d(rows.astype(jnp.float32), c).astype(jnp.int32)  # [A]
         d = r - c + (n - 1)
         a = r + c
-        rc, dc, ac = line_counts(rows)
 
         # Remove the queen from its lines: each line loses 2*(k-1).
         removed = (
@@ -173,21 +210,50 @@ def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Pro
         valid = jnp.broadcast_to(col_valid[:, None], (a_max, n)).reshape(-1)
         return Neighborhood(scores=scores, moves=moves, valid=valid)
 
-    def move_fp(rows, cur_fp, moves, idx):
+    def move_fp(state, cur_fp, moves, idx):
         cols_mv, new_rows = moves
         col = cols_mv[idx]
         return fp_update(
             cur_fp,
             col,
-            rows[col].astype(jnp.uint32),
+            state.rows[col].astype(jnp.uint32),
             new_rows[idx].astype(jnp.uint32),
         )
 
-    def apply_move(rows, moves, idx):
+    def apply_move(state, moves, idx):
+        """Apply (col: r_old -> r_new) with O(1) counter updates and an
+        O(n) elementwise column-score fix-up."""
+        rows, rc, dc, ac, cs = state
         cols_mv, new_rows = moves
-        return rows.at[cols_mv[idx]].set(new_rows[idx])
+        col = cols_mv[idx]
+        r_old = rows[col]
+        r_new = new_rows[idx]
+        d_old, d_new = r_old - col + (n - 1), r_new - col + (n - 1)
+        a_old, a_new = r_old + col, r_new + col
 
-    def perturb(rows, is_elite, key):
+        rows2 = rows.at[col].set(r_new)
+        rc2 = rc.at[r_old].add(-1.0).at[r_new].add(1.0)
+        dc2 = dc.at[d_old].add(-1.0).at[d_new].add(1.0)
+        ac2 = ac.at[a_old].add(-1.0).at[a_new].add(1.0)
+
+        # Column-score delta for every unchanged column: -1 per shared line
+        # with the vacated (r_old, d_old, a_old), +1 per shared line with the
+        # occupied (r_new, d_new, a_new).
+        iota = jnp.arange(n, dtype=jnp.int32)
+        dj = rows - iota + (n - 1)
+        aj = rows + iota
+        delta_cs = (
+            (rows == r_new).astype(jnp.float32) - (rows == r_old)
+            + (dj == d_new) - (dj == d_old)
+            + (aj == a_new) - (aj == a_old)
+        )
+        cs2 = cs + delta_cs
+        # The moved column's score is recomputed from the new counters.
+        moved_cs = (rc2[r_new] - 1) + (dc2[d_new] - 1) + (ac2[a_new] - 1)
+        cs2 = cs2.at[col].set(moved_cs)
+        return NQState(rows=rows2, rc=rc2, dc=dc2, ac=ac2, cs=cs2)
+
+    def perturb(state, is_elite, key):
         # {ChangeSubset: 100, DoNothing: 10} (ref lib.rs:274-283);
         # k ~ U[1, n/20] near elites else U[1, n/2] (ref lib.rs:304-307).
         k_strat, k_n, k_u, k_rows = jax.random.split(key, 4)
@@ -200,7 +266,7 @@ def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Pro
         kth = jax.lax.dynamic_index_in_dim(jnp.sort(u), n_alter - 1, keepdims=False)
         alter = u <= kth
         new_rows = jax.random.randint(k_rows, (n,), 0, n, jnp.int32)
-        return jnp.where(do_change & alter, new_rows, rows)
+        return build_state(jnp.where(do_change & alter, new_rows, state.rows))
 
     return Problem(
         name=f"nqueens-{n}",

@@ -41,7 +41,8 @@ def test_solver_checkpoint_roundtrip(tmp_path):
     sa, ra = a.get_best_solution()
     sb, rb = b.get_best_solution()
     assert sa == sb
-    np.testing.assert_array_equal(ra, rb)
+    for la, lb in zip(jax.tree.leaves(ra), jax.tree.leaves(rb)):
+        np.testing.assert_array_equal(la, lb)
 
 
 def test_population_checkpoint_roundtrip(tmp_path):

@@ -28,8 +28,8 @@ def test_nqueens_repeatable_and_solved(seed):
             ),
         )
         solver.run(chunk=8)
-        (hard, soft), rows = solver.get_best_solution()
-        results.append((hard, soft, tuple(rows.tolist())))
+        (hard, soft), state = solver.get_best_solution()
+        results.append((hard, soft, tuple(state.rows.tolist())))
 
     first = results[0]
     for other in results[1:]:

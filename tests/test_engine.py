@@ -137,7 +137,8 @@ def test_ils_solves_8queens():
     )
     solver = Solver(problem, config)
     solver.run(chunk=8)
-    (hard, _), rows = solver.get_best_solution()
+    (hard, _), best_state = solver.get_best_solution()
+    rows = best_state.rows
     assert hard == 0, f"8-queens not solved: {hard} conflicts, rows={rows}"
     assert sorted(rows.tolist()) != []  # a real board came back
 

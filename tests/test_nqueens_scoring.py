@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from constraint_solver_tpu.models.nqueens import (
+    build_state,
     col_scores,
     make_nqueens_problem,
     total_conflicts,
@@ -62,8 +63,10 @@ def test_neighborhood_delta_matches_full_rescore():
         problem = make_nqueens_problem(n)
         for trial in range(3):
             rows = jnp.asarray(rng.integers(0, n, size=n), jnp.int32)
-            cur = problem.score(rows)
-            nb = problem.neighborhood(rows, cur, jax.random.key(trial))
+            state = build_state(rows)
+            cur = problem.score(state)
+            assert float(cur[0]) == int(total_conflicts(rows))
+            nb = problem.neighborhood(state, cur, jax.random.key(trial))
             cols_mv, new_rows = nb.moves
             cand_scores = np.asarray(nb.scores)[:, 0]
             for i in range(cols_mv.shape[0]):
@@ -77,15 +80,37 @@ def test_move_fingerprints_match_full():
     n = 16
     problem = make_nqueens_problem(n)
     rows = jnp.asarray(np.random.default_rng(7).integers(0, n, size=n), jnp.int32)
-    cur_fp = problem.fingerprint(rows)
-    nb = problem.neighborhood(rows, problem.score(rows), jax.random.key(0))
+    state = build_state(rows)
+    cur_fp = problem.fingerprint(state)
+    nb = problem.neighborhood(state, problem.score(state), jax.random.key(0))
     cols_mv, new_rows = nb.moves
     for i in range(0, cols_mv.shape[0], 7):
-        applied = rows.at[int(cols_mv[i])].set(int(new_rows[i]))
+        applied = build_state(rows.at[int(cols_mv[i])].set(int(new_rows[i])))
         np.testing.assert_array_equal(
             np.asarray(problem.fingerprint(applied)),
-            np.asarray(problem.move_fp(rows, cur_fp, nb.moves, i)),
+            np.asarray(problem.move_fp(state, cur_fp, nb.moves, i)),
         )
+
+
+def test_apply_move_incremental_counters_consistent():
+    """apply_move's incremental counter/col-score updates must equal a
+    from-scratch build_state of the resulting board."""
+    rng = np.random.default_rng(11)
+    for n in (8, 32):
+        problem = make_nqueens_problem(n)
+        rows = jnp.asarray(rng.integers(0, n, size=n), jnp.int32)
+        state = build_state(rows)
+        nb = problem.neighborhood(state, problem.score(state), jax.random.key(3))
+        cols_mv, new_rows = nb.moves
+        for i in range(0, cols_mv.shape[0], 5):
+            got = problem.apply_move(state, nb.moves, i)
+            want = build_state(
+                rows.at[int(cols_mv[i])].set(int(new_rows[i]))
+            )
+            for leaf_got, leaf_want in zip(got, want):
+                np.testing.assert_array_equal(
+                    np.asarray(leaf_got), np.asarray(leaf_want)
+                )
 
 
 def test_neighborhood_only_conflicted_columns():
@@ -96,7 +121,8 @@ def test_neighborhood_only_conflicted_columns():
     rng = np.random.default_rng(8)
     rows = jnp.asarray(rng.integers(0, n, size=n), jnp.int32)
     cs = np.asarray(col_scores(rows))
-    nb = problem.neighborhood(rows, problem.score(rows), jax.random.key(1))
+    state = build_state(rows)
+    nb = problem.neighborhood(state, problem.score(state), jax.random.key(1))
     cols_mv, _ = nb.moves
     valid = np.asarray(nb.valid)
     touched = np.unique(np.asarray(cols_mv)[valid])

@@ -29,9 +29,9 @@ def _config(rounds=40):
 def test_population_solves_8queens():
     solver = PopulationSolver(make_nqueens_problem(8), _config(), population=8)
     solver.run()
-    (hard, _), rows = solver.get_best_solution()
+    (hard, _), best_state = solver.get_best_solution()
     assert hard == 0
-    assert sorted(rows.tolist()) == list(range(8))
+    assert sorted(best_state.rows.tolist()) == list(range(8))
 
 
 def test_population_sharded_over_mesh():
@@ -41,7 +41,7 @@ def test_population_sharded_over_mesh():
     )
     # State really is sharded over the 'pop' axis.
     shard_devs = {
-        d.id for d in solver.state.current_state.sharding.device_set
+        d.id for d in solver.state.current_state.rows.sharding.device_set
     }
     assert len(shard_devs) == 8
     solver.run(max_rounds=20)
@@ -78,6 +78,6 @@ def test_population_deterministic():
             make_nqueens_problem(8), _config(rounds=10), population=4
         )
         solver.run()
-        (hard, soft), rows = solver.get_best_solution()
-        results.append((hard, soft, tuple(rows.tolist())))
+        (hard, soft), state = solver.get_best_solution()
+        results.append((hard, soft, tuple(state.rows.tolist())))
     assert results[0] == results[1]
