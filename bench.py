@@ -61,7 +61,8 @@ def main() -> None:
     from constraint_solver_tpu.parallel.population import PopulationSolver
 
     log(f"devices: {jax.devices()}")
-    problem = make_nqueens_problem(N)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    problem = make_nqueens_problem(N, use_pallas=on_tpu)
     moves_per_ls_iter = max(1, N // 20) * N
     config = SolverConfig(
         seed="bench",

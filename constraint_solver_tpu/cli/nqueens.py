@@ -50,7 +50,7 @@ def main(argv=None):
         iterated_local_search_max_iterations=args.rounds,
         max_allow_no_improvement_for=5,
     )
-    problem = make_nqueens_problem(n)
+    problem = make_nqueens_problem(n, use_pallas=(args.platform == "tpu"))
     t0 = time.time()
     if args.population > 1:
         solver = PopulationSolver(problem, config, population=args.population)

@@ -131,10 +131,18 @@ def build_state(rows: jax.Array) -> NQState:
     return NQState(rows=rows, rc=rc, dc=dc, ac=ac, cs=cs)
 
 
-def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Problem:
+def make_nqueens_problem(
+    board_size: int,
+    sample_cols: int | None = None,
+    use_pallas: bool | str = False,
+) -> Problem:
     """Build the N-Queens problem.  ``sample_cols`` (A) is the number of
     conflicted columns sampled per proposal; default ``max(1, n // 20)``
-    mirrors the reference's ``amount`` cap (ref lib.rs:196)."""
+    mirrors the reference's ``amount`` cap (ref lib.rs:196).
+
+    ``use_pallas``: score the [A, n] candidate block with the fused Pallas
+    TPU kernel (ops/nqueens_pallas.py) instead of the XLA op chain;
+    ``"interpret"`` runs the kernel in interpreter mode (CPU testing)."""
     n = board_size
     a_max = sample_cols if sample_cols is not None else max(1, n // 20)
 
@@ -184,23 +192,32 @@ def make_nqueens_problem(board_size: int, sample_cols: int | None = None) -> Pro
         )  # [A]
 
         rp = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, n] candidate rows
-        # dc[rp - c_j + (n-1)] and ac[rp + c_j] are CONTIGUOUS slices of the
-        # diagonal tables (length n, start n-1-c_j resp. c_j) — dynamic
-        # slices, not gathers.
-        dc_at = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(dc, (s,), (n,))
-        )((n - 1) - c)  # [A, n]
-        ac_at = jax.vmap(lambda s: jax.lax.dynamic_slice(ac, (s,), (n,)))(c)
-        dp = rp - c[:, None] + (n - 1)                # [A, n]
-        ap = rp + c[:, None]
-        added = (
-            (rc[None, :] - (rp == r[:, None]))
-            + (dc_at - (dp == d[:, None]))
-            + (ac_at - (ap == a[:, None]))
-        )  # [A, n]
+        if use_pallas:
+            from constraint_solver_tpu.ops.nqueens_pallas import (
+                nqueens_neighborhood_scores,
+            )
 
-        delta = 2 * (added - removed[:, None])
-        cand_hard = cur_score[0] + delta.astype(jnp.float32)  # [A, n]
+            cand_hard = nqueens_neighborhood_scores(
+                rows, rc, dc, ac, c, r, removed, cur_score[0],
+                interpret=(use_pallas == "interpret"),
+            )
+        else:
+            # dc[rp - c_j + (n-1)] and ac[rp + c_j] are CONTIGUOUS slices of
+            # the diagonal tables (length n, start n-1-c_j resp. c_j) —
+            # dynamic slices, not gathers.
+            dc_at = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(dc, (s,), (n,))
+            )((n - 1) - c)  # [A, n]
+            ac_at = jax.vmap(lambda s: jax.lax.dynamic_slice(ac, (s,), (n,)))(c)
+            dp = rp - c[:, None] + (n - 1)                # [A, n]
+            ap = rp + c[:, None]
+            added = (
+                (rc[None, :] - (rp == r[:, None]))
+                + (dc_at - (dp == d[:, None]))
+                + (ac_at - (ap == a[:, None]))
+            )  # [A, n]
+            delta = 2 * (added - removed[:, None])
+            cand_hard = cur_score[0] + delta.astype(jnp.float32)  # [A, n]
         scores = make_score(cand_hard.reshape(-1))
 
         moves = (

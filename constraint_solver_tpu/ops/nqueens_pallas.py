@@ -1,0 +1,109 @@
+"""Pallas TPU kernel for the N-Queens neighborhood delta-scoring block.
+
+Computes the [A, n] candidate-score matrix — for each of A sampled columns,
+the total-conflict score of moving that column's queen to every row — in one
+fused kernel over VMEM-resident counter tables, replacing the XLA op chain
+(per-column dynamic slices + broadcast compares + adds) with a single
+launch.  The delta algebra matches models/nqueens.py (and therefore the
+reference's x2-pair conflict convention, reference examples/nqueens/src/
+lib.rs:74-87):
+
+    score(j, r') = cur + 2 * [ (rc[r'] - [r'==r_j]) + (dc[d'] - [d'==d_j])
+                              + (ac[a'] - [a'==a_j]) - removed_j ]
+
+Key TPU considerations:
+- all tables fit VMEM (n=4096 -> ~100 KB); the kernel is one grid cell per
+  sampled column, each emitting one (1, n) lane-aligned row;
+- the diagonal lookups dc[r' - c_j + n-1] / ac[r' + c_j] are CONTIGUOUS
+  slices of the diagonal tables, expressed with pl.ds dynamic slices;
+- per-column scalars (chosen col, current row, removed term) are
+  scalar-prefetched into SMEM so slice offsets are known at program start.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(n, c_ref, r_ref, removed_ref, cur_ref, rc_ref, dc_ref, ac_ref, out_ref):
+    # Shapes are lane-padded: rc [1, n_pad], dc/ac [1, 2*n_pad], out [A, n_pad].
+    n_pad = rc_ref.shape[1]
+    a = out_ref.shape[0]
+    cur = cur_ref[0]
+    rp = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    rc = rc_ref[0, :].reshape(1, n_pad)
+    dc_full = dc_ref[0, :].reshape(1, 2 * n_pad)
+    ac_full = ac_ref[0, :].reshape(1, 2 * n_pad)
+
+    def body(j, _):
+        c_j = c_ref[j]
+        r_j = r_ref[j]
+        removed_j = removed_ref[j]
+        # dc[rp - c_j + (n-1)] is the contiguous window starting at
+        # n-1-c_j; Mosaic can't prove dynamic lane offsets are 128-aligned,
+        # so realize the window as a dynamic ROLL (start -> lane 0) followed
+        # by an aligned static slice.  No wraparound contamination: window
+        # start <= n-1 and the table is 2*n_pad long.
+        dc_sl = pltpu.roll(dc_full, c_j - (n - 1), axis=1)[:, :n_pad]
+        ac_sl = pltpu.roll(ac_full, -c_j, axis=1)[:, :n_pad]
+        same_r = (rp == r_j).astype(jnp.float32)
+        # rp - c_j + n-1 == r_j - c_j + n-1  <=>  rp == r_j; likewise for the
+        # anti-diagonal — within its own column only the no-op move back to
+        # r_j re-shares the vacated queen's lines.
+        added = (rc - same_r) + (dc_sl - same_r) + (ac_sl - same_r)
+        out_ref[pl.ds(j, 1), :] = cur + 2.0 * (added - removed_j)
+        return 0
+
+    jax.lax.fori_loop(0, a, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nqueens_neighborhood_scores(
+    rows: jax.Array,     # int32[n] (unused; kept for API symmetry)
+    rc: jax.Array,       # float32[n]
+    dc: jax.Array,       # float32[2n-1]
+    ac: jax.Array,       # float32[2n-1]
+    c: jax.Array,        # int32[A] sampled columns
+    r: jax.Array,        # int32[A] their current rows
+    removed: jax.Array,  # float32[A] (rc[r]-1)+(dc[d]-1)+(ac[a]-1) per column
+    cur_hard: jax.Array,  # float32[] current total conflicts
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns float32[A, n] candidate scores."""
+    n = rc.shape[0]
+    a = c.shape[0]
+    del rows
+    n_pad = ((n + 127) // 128) * 128
+    rc_p = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(rc)
+    dc_p = jnp.zeros((1, 2 * n_pad), jnp.float32).at[0, : 2 * n - 1].set(dc)
+    ac_p = jnp.zeros((1, 2 * n_pad), jnp.float32).at[0, : 2 * n - 1].set(ac)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # c, r, removed, cur_hard
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rc (full, VMEM-resident)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ac
+        ],
+        out_specs=pl.BlockSpec((a, n_pad), lambda *_: (0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((a, n_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        c,
+        r,
+        removed,
+        cur_hard.reshape(1),
+        rc_p,
+        dc_p,
+        ac_p,
+    )
+    return out[:, :n]

@@ -1,0 +1,53 @@
+"""Pallas kernel equivalence tests (interpret mode on the CPU backend):
+kernel output == naive full rescore (SURVEY.md §4 kernel-vs-reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from constraint_solver_tpu.models.nqueens import (
+    build_state,
+    make_nqueens_problem,
+    total_conflicts,
+)
+from constraint_solver_tpu.ops.nqueens_pallas import nqueens_neighborhood_scores
+
+
+def test_kernel_matches_full_rescore():
+    rng = np.random.default_rng(0)
+    for n, a in ((16, 3), (32, 5)):
+        rows = jnp.asarray(rng.integers(0, n, size=n), jnp.int32)
+        st = build_state(rows)
+        c = jnp.asarray(rng.choice(n, size=a, replace=False), jnp.int32)
+        r = st.rows[c]
+        d = r - c + (n - 1)
+        aa = r + c
+        removed = (st.rc[r] - 1) + (st.dc[d] - 1) + (st.ac[aa] - 1)
+        cur = jnp.float32(int(total_conflicts(rows)))
+        scores = nqueens_neighborhood_scores(
+            st.rows, st.rc, st.dc, st.ac, c, r, removed, cur, interpret=True
+        )
+        assert scores.shape == (a, n)
+        for j in range(a):
+            for rp in range(n):
+                applied = rows.at[int(c[j])].set(rp)
+                assert float(scores[j, rp]) == int(total_conflicts(applied)), (
+                    f"n={n} col {int(c[j])} row {rp}"
+                )
+
+
+def test_problem_with_pallas_neighborhood_matches_xla():
+    n = 24
+    p_xla = make_nqueens_problem(n)
+    p_pls = make_nqueens_problem(n, use_pallas="interpret")
+    rows = jnp.asarray(
+        np.random.default_rng(1).integers(0, n, size=n), jnp.int32
+    )
+    st = build_state(rows)
+    cur = p_xla.score(st)
+    nb_x = p_xla.neighborhood(st, cur, jax.random.key(5))
+    nb_p = p_pls.neighborhood(st, cur, jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(nb_x.scores), np.asarray(nb_p.scores))
+    np.testing.assert_array_equal(np.asarray(nb_x.valid), np.asarray(nb_p.valid))
+    for mx, mp in zip(nb_x.moves, nb_p.moves):
+        np.testing.assert_array_equal(np.asarray(mx), np.asarray(mp))
