@@ -135,6 +135,9 @@ def make_nqueens_problem(
     board_size: int,
     sample_cols: int | None = None,
     use_pallas: bool | str = False,
+    nbr_axis: str | None = None,
+    nbr_shards: int = 1,
+    nbr_keep: int = 64,
 ) -> Problem:
     """Build the N-Queens problem.  ``sample_cols`` (A) is the number of
     conflicted columns sampled per proposal; default ``max(1, n // 20)``
@@ -142,9 +145,20 @@ def make_nqueens_problem(
 
     ``use_pallas``: score the [A, n] candidate block with the fused Pallas
     TPU kernel (ops/nqueens_pallas.py) instead of the XLA op chain;
-    ``"interpret"`` runs the kernel in interpreter mode (CPU testing)."""
+    ``"interpret"`` runs the kernel in interpreter mode (CPU testing).
+
+    ``nbr_axis``/``nbr_shards``: tensor-parallel neighborhood.  Inside a
+    ``shard_map`` over that mesh axis, each shard scores A/shards of the
+    sampled columns, keeps its ``nbr_keep`` best candidates, and an
+    all_gather rebuilds a small global candidate list — the engine is
+    oblivious.  The Gumbel column sample is computed identically on every
+    shard (replicated state, same key), so shards stay consistent."""
     n = board_size
     a_max = sample_cols if sample_cols is not None else max(1, n // 20)
+    if nbr_axis is not None:
+        # Pad A up so every shard gets an equal slice.
+        a_max = ((a_max + nbr_shards - 1) // nbr_shards) * nbr_shards
+    a_local = a_max // nbr_shards
 
     def init(key):
         # Random permutation start (ref lib.rs:152-161).
@@ -182,6 +196,13 @@ def make_nqueens_problem(
         col_valid = jnp.arange(a_max) < jnp.minimum(num_cols, n_conflicted)
 
         c = chosen_cols.astype(jnp.int32)            # [A]
+        if nbr_axis is not None:
+            # Tensor-parallel: this shard scores its A/shards column slice.
+            shard = jax.lax.axis_index(nbr_axis)
+            c = jax.lax.dynamic_slice(c, (shard * a_local,), (a_local,))
+            col_valid = jax.lax.dynamic_slice(
+                col_valid, (shard * a_local,), (a_local,)
+            )
         r = _take_1d(rows.astype(jnp.float32), c).astype(jnp.int32)  # [A]
         d = r - c + (n - 1)
         a = r + c
@@ -218,14 +239,35 @@ def make_nqueens_problem(
             )  # [A, n]
             delta = 2 * (added - removed[:, None])
             cand_hard = cur_score[0] + delta.astype(jnp.float32)  # [A, n]
-        scores = make_score(cand_hard.reshape(-1))
+        a_here = c.shape[0]
+        hard_flat = cand_hard.reshape(-1)
+        mv_cols = jnp.broadcast_to(c[:, None], (a_here, n)).reshape(-1)
+        mv_rows = jnp.broadcast_to(rp, (a_here, n)).reshape(-1).astype(jnp.int32)
+        valid = jnp.broadcast_to(col_valid[:, None], (a_here, n)).reshape(-1)
 
-        moves = (
-            jnp.broadcast_to(c[:, None], (a_max, n)).reshape(-1),
-            jnp.broadcast_to(rp, (a_max, n)).reshape(-1).astype(jnp.int32),
+        if nbr_axis is not None:
+            # Local top-k then all_gather over the nbr axis: the engine sees
+            # a small replicated candidate list instead of the sharded block.
+            k_keep = min(nbr_keep, a_here * n)
+            neg, idxs = jax.lax.top_k(
+                jnp.where(valid, -hard_flat, -jnp.inf), k_keep
+            )
+            hard_flat = -neg
+            mv_cols = mv_cols[idxs]
+            mv_rows = mv_rows[idxs]
+            valid = jnp.isfinite(hard_flat)
+            gather = lambda x: jax.lax.all_gather(
+                x, nbr_axis, axis=0, tiled=True
+            )
+            hard_flat = gather(hard_flat)
+            mv_cols = gather(mv_cols)
+            mv_rows = gather(mv_rows)
+            valid = gather(valid)
+
+        scores = make_score(hard_flat)
+        return Neighborhood(
+            scores=scores, moves=(mv_cols, mv_rows), valid=valid
         )
-        valid = jnp.broadcast_to(col_valid[:, None], (a_max, n)).reshape(-1)
-        return Neighborhood(scores=scores, moves=moves, valid=valid)
 
     def move_fp(state, cur_fp, moves, idx):
         cols_mv, new_rows = moves
