@@ -56,6 +56,13 @@ class IlsState(NamedTuple):
     round: jax.Array          # int32[]
     ls_iters_total: jax.Array  # int32[] total inner LS iterations (metrics)
     key: jax.Array
+    # Acceptance mode knob (a per-trajectory portfolio parameter):
+    #   < 0  — the reference's score-blind weighted random choice
+    #          {current: 1, new: 5, random elite: 1} (ref :51-71);
+    #   == 0 — greedy: keep the lexicographically better of current/new;
+    #   > 0  — simulated-annealing Metropolis on the hard channel with this
+    #          temperature.
+    accept_temp: jax.Array    # float32[]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,7 +95,12 @@ class SolverConfig:
         )
 
 
-def ils_init(problem: Problem, config: SolverConfig, key: jax.Array) -> IlsState:
+def ils_init(
+    problem: Problem,
+    config: SolverConfig,
+    key: jax.Array,
+    accept_temp: float = -1.0,
+) -> IlsState:
     """Build the initial ILS state: a scored random solution (ref
     IteratedLocalSearch::new, iterated_local_search.rs:141-155), an empty
     elite archive, and an empty tabu ring."""
@@ -107,6 +119,7 @@ def ils_init(problem: Problem, config: SolverConfig, key: jax.Array) -> IlsState
         round=jnp.int32(0),
         ls_iters_total=jnp.int32(0),
         key=key,
+        accept_temp=jnp.float32(accept_temp),
     )
 
 
@@ -149,12 +162,27 @@ def ils_round(
     # Elite archive insert (ref :198).
     elite = st.elite.insert(new_score, new_fp, new_state)
 
-    # Acceptance: score-blind weighted choice {current:1, new:5, elite:1}
-    # (ref AcceptanceCriterion::choose, :51-71).  The elite archive is never
-    # empty here because the insert above precedes the choice.
+    # Acceptance.  Reference mode (accept_temp < 0): score-blind weighted
+    # choice {current:1, new:5, elite:1} (ref AcceptanceCriterion::choose,
+    # :51-71) — the elite archive is never empty here because the insert
+    # above precedes the choice.  Portfolio modes: greedy (temp == 0) and
+    # SA-Metropolis on the hard channel (temp > 0).
+    from constraint_solver_tpu.ops.lex import lex_leq
+
     e_score, e_fp, e_state = elite.get_random(k_accept_elite)
     w = jnp.asarray(ils_params.accept_weights, jnp.float32)
-    choice = jax.random.choice(k_accept, 3, p=w / w.sum())
+    choice3 = jax.random.choice(k_accept, 3, p=w / w.sum())
+
+    temp = st.accept_temp
+    d_hard = new_score[0] - cur_score[0]
+    p_metropolis = jnp.where(
+        temp > 0.0, jnp.exp(-jnp.maximum(d_hard, 0.0) / jnp.maximum(temp, 1e-9)), 0.0
+    )
+    sa_take_new = lex_leq(new_score, cur_score) | (
+        jax.random.uniform(k_accept) < p_metropolis
+    )
+    # choice: 0 = current, 1 = new, 2 = random elite
+    choice = jnp.where(temp < 0.0, choice3, jnp.where(sa_take_new, 1, 0))
     nxt_state = _select(
         choice == 0, cur_state, _select(choice == 1, new_state, e_state)
     )
@@ -172,6 +200,7 @@ def ils_round(
         round=rnd,
         ls_iters_total=st.ls_iters_total + ls_iters,
         key=key,
+        accept_temp=st.accept_temp,
     )
     # Converged trajectories only advance their round counter and key.
     return _select(done, st._replace(round=rnd, key=key), out)

@@ -33,20 +33,54 @@ from constraint_solver_tpu.core.ils import (
 )
 from constraint_solver_tpu.core.problem import Problem
 from constraint_solver_tpu.ops.lex import lex_argmin, lex_top_k
-from constraint_solver_tpu.parallel.mesh import pop_sharding
+from constraint_solver_tpu.parallel.mesh import pop_sharding, replicated
 from constraint_solver_tpu.utils.seeding import seed_string_to_key
 
 
+def portfolio_temps(population: int, mix: str = "reference") -> jax.Array:
+    """Per-trajectory acceptance temperatures (the heterogeneous-portfolio
+    analog of expert parallelism, SURVEY.md §2.5):
+
+    - "reference": every lane runs the reference 1:5:1 acceptance (temp -1);
+    - "mixed": half the lanes reference, a quarter greedy descent (temp 0),
+      a quarter SA with temperatures log-spaced in [0.5, 8].
+    """
+    if mix == "reference":
+        return jnp.full((population,), -1.0, jnp.float32)
+    assert mix == "mixed", mix
+    temps = np.full((population,), -1.0, np.float32)
+    q = population // 4
+    temps[:q] = 0.0
+    if q > 0:
+        temps[q : 2 * q] = np.logspace(
+            np.log10(0.5), np.log10(8.0), num=q, dtype=np.float32
+        )
+    return jnp.asarray(temps)
+
+
 def population_init(
-    problem: Problem, config: SolverConfig, population: int, key: jax.Array
+    problem: Problem,
+    config: SolverConfig,
+    population: int,
+    key: jax.Array,
+    accept_temps: jax.Array | None = None,
 ) -> IlsState:
     """IlsState with a leading population axis on every leaf."""
     keys = jax.random.split(key, population)
-    return jax.vmap(lambda k: ils_init(problem, config, k))(keys)
+    if accept_temps is None:
+        accept_temps = portfolio_temps(population)
+    return jax.vmap(
+        lambda k, t: ils_init(problem, config, k, accept_temp=t)
+    )(keys, accept_temps)
 
 
-def exchange_elites(states: IlsState, k_exchange: int) -> IlsState:
-    """Insert the global top-k elite solutions into every lane's archive."""
+def exchange_elites(
+    states: IlsState, k_exchange: int, cull_frac: float = 0.0
+) -> IlsState:
+    """Insert the global top-k elite solutions into every lane's archive;
+    optionally CULL the worst ``cull_frac`` of lanes by resetting their
+    current solution to their (post-exchange) archive best — the periodic
+    portfolio culling of BASELINE.json's north star."""
     scores, fps, bests = jax.vmap(lambda e: e.get_best())(states.elite)
     leaves, treedef = jax.tree.flatten(bests)
     top = lex_top_k(scores, k_exchange, fps, *leaves)
@@ -63,7 +97,34 @@ def exchange_elites(states: IlsState, k_exchange: int) -> IlsState:
 
         return jax.lax.fori_loop(0, k_exchange, body, elite)
 
-    return states._replace(elite=jax.vmap(insert_all)(states.elite))
+    states = states._replace(elite=jax.vmap(insert_all)(states.elite))
+
+    if cull_frac > 0.0:
+        p = states.current_score.shape[0]
+        n_cull = int(p * cull_frac)
+        if n_cull > 0:
+            # Worst lanes by current hard score restart from their archive
+            # best (which now contains the global top-k).
+            cur_hard = states.current_score[:, 0]
+            threshold = jnp.sort(cur_hard)[p - n_cull]
+            cull = cur_hard >= threshold
+            b_score, b_fp, b_state = jax.vmap(lambda e: e.get_best())(
+                states.elite
+            )
+            sel = lambda a, b: jax.vmap(jnp.where)(cull, a, b)
+            states = states._replace(
+                current_state=jax.tree.map(
+                    lambda a, b: jnp.where(
+                        cull.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                    ),
+                    b_state,
+                    states.current_state,
+                ),
+                current_score=jnp.where(cull[:, None], b_score, states.current_score),
+                current_fp=jnp.where(cull[:, None], b_fp, states.current_fp),
+            )
+            del sel
+    return states
 
 
 class PopulationSolver:
@@ -77,6 +138,8 @@ class PopulationSolver:
         exchange_every: int = 10,
         k_exchange: int = 4,
         mesh=None,
+        portfolio: str = "reference",
+        cull_frac: float = 0.0,
     ):
         self.problem = problem
         self.config = config
@@ -90,9 +153,18 @@ class PopulationSolver:
             jax.set_mesh(mesh)
 
         key = seed_string_to_key(config.seed)
-        self.state = population_init(problem, config, population, key)
-        if mesh is not None:
-            self.state = jax.device_put(self.state, pop_sharding(mesh))
+        temps = portfolio_temps(population, portfolio)
+        if mesh is None:
+            self.state = population_init(problem, config, population, key, temps)
+        else:
+            # Multi-host safe: build the global sharded state INSIDE jit
+            # (device_put of process-local arrays onto a global sharding is
+            # not allowed; jit with out_shardings is).
+            init_jit = jax.jit(
+                lambda k, t: population_init(problem, config, population, k, t),
+                out_shardings=pop_sharding(mesh),
+            )
+            self.state = init_jit(key, temps)
 
         round_fn = jax.vmap(
             partial(ils_round, problem, config.ls_params(), config.ils_params())
@@ -100,18 +172,33 @@ class PopulationSolver:
 
         def run_chunk(st: IlsState, n: int) -> IlsState:
             st = jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
-            return exchange_elites(st, k_exchange)
+            return exchange_elites(st, k_exchange, cull_frac)
 
         self._round_jit = jax.jit(round_fn)
         self._chunk_jit = jax.jit(run_chunk, static_argnums=1)
 
-        @jax.jit
+        # Host-read paths produce small REPLICATED outputs so they stay
+        # addressable on every process under a multi-host global mesh.
+        rep = replicated(mesh) if mesh is not None else None
+
+        def jit_rep(f):
+            return jax.jit(f, out_shardings=rep) if rep is not None else jax.jit(f)
+
         def best_score(st: IlsState):
             scores, _, _ = jax.vmap(lambda e: e.get_best())(st.elite)
             return scores[lex_argmin(scores)]
 
+        def global_best(st: IlsState):
+            scores, _, bests = jax.vmap(lambda e: e.get_best())(st.elite)
+            lane = lex_argmin(scores)
+            return scores[lane], jax.tree.map(lambda a: a[lane], bests)
+
         # Cheap convergence probe: transfers 8 bytes, not the elite arrays.
-        self._best_score_jit = best_score
+        self._best_score_jit = jit_rep(best_score)
+        self._global_best_jit = jit_rep(global_best)
+        self._probe_jit = jit_rep(
+            lambda st: (st.round[0], jnp.sum(st.ls_iters_total))
+        )
 
     # -- driver API (mirrors core.ils.Solver) ----------------------------
 
@@ -119,9 +206,7 @@ class PopulationSolver:
         self.state = self._round_jit(self.state)
 
     def _round_count(self) -> int:
-        # Materialize before indexing: gathers on pop-sharded arrays are
-        # ambiguous under sharding-in-types.
-        return int(np.asarray(self.state.round)[0])
+        return int(np.asarray(self._probe_jit(self.state)[0]))
 
     def is_finished(self) -> bool:
         return self._round_count() >= self.config.iterated_local_search_max_iterations
@@ -134,11 +219,9 @@ class PopulationSolver:
 
     def get_best_solution(self):
         """Global best over all lanes' archives."""
-        scores, _fps, bests = jax.vmap(lambda e: e.get_best())(self.state.elite)
-        scores = np.asarray(scores)
-        lane = int(lex_argmin(jnp.asarray(scores)))
-        score = scores[lane]
-        state = jax.tree.map(lambda a: np.asarray(a)[lane], bests)
+        score, state = self._global_best_jit(self.state)
+        score = np.asarray(score)
+        state = jax.tree.map(np.asarray, state)
         return (float(score[0]), float(score[1])), state
 
     def cancel(self) -> None:
@@ -159,10 +242,11 @@ class PopulationSolver:
                 break
 
     def stats(self) -> dict:
+        rounds, iters = self._probe_jit(self.state)
         return {
-            "rounds": self._round_count(),
+            "rounds": int(np.asarray(rounds)),
             "population": self.population,
-            "ls_iterations": int(jnp.sum(self.state.ls_iters_total)),
+            "ls_iterations": int(np.asarray(iters)),
         }
 
     # -- checkpoint / resume (SURVEY.md §5) -------------------------------
