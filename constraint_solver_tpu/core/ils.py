@@ -224,6 +224,7 @@ class Solver:
         self.problem = problem
         self.config = config
         self.cancelled = False
+        self._wall = 0.0
         key = seed_string_to_key(config.seed)
         self.state = ils_init(problem, config, key)
         round_fn = partial(
@@ -264,21 +265,37 @@ class Solver:
 
     # -- fast path --------------------------------------------------------
 
-    def run(self, max_rounds: int | None = None, chunk: int = 16) -> None:
+    def run(
+        self,
+        max_rounds: int | None = None,
+        chunk: int = 16,
+        verbose: bool = False,
+    ) -> None:
         """Run rounds until finished/converged/cancelled.  ``chunk`` rounds
         execute per device dispatch; between chunks the host checks
-        convergence (the reference's per-round host loop, amortized)."""
+        convergence (the reference's per-round host loop, amortized).
+        ``verbose`` logs the best score per chunk, the analog of the
+        reference's per-round progress print (iterated_local_search.rs:176-179)."""
+        import time
+
         total = self.config.iterated_local_search_max_iterations
         if max_rounds is not None:
             total = min(total, int(self.state.round) + max_rounds)
         rounds_done = int(self.state.round)
+        t0 = time.time()
         while not self.cancelled and rounds_done < total:
             n = min(chunk, total - rounds_done)
             self.state = self._chunk_jit(self.state, n)
             rounds_done += n
             score = jnp.asarray(self._best_score_jit(self.state))
+            if verbose:
+                print(
+                    f"[{self.problem.name}] round {rounds_done}/{total} "
+                    f"best score: ({score[0]}, {score[1]})"
+                )
             if bool(self.problem.is_best(score)):
                 break
+        self._wall += time.time() - t0
 
     # -- checkpoint / resume (SURVEY.md §5) -------------------------------
 
@@ -302,7 +319,13 @@ class Solver:
     # -- metrics ----------------------------------------------------------
 
     def stats(self) -> dict:
-        return {
+        iters = int(self.state.ls_iters_total)
+        moves = iters * self.problem.width
+        out = {
             "rounds": int(self.state.round),
-            "ls_iterations": int(self.state.ls_iters_total),
+            "ls_iterations": iters,
+            "moves_evaluated": moves,
         }
+        if self._wall > 0:
+            out["moves_per_sec"] = round(moves / self._wall)
+        return out

@@ -75,3 +75,5 @@ class Problem(NamedTuple):
     move_fp: Callable[[Any, jax.Array, Any, jax.Array], jax.Array]
     apply_move: Callable[[Any, Any, jax.Array], Any]
     perturb: Callable[[Any, jax.Array, jax.Array], Any]
+    # Candidate moves scored per LS iteration (metrics: moves/sec).
+    width: int = 0

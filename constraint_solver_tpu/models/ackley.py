@@ -134,4 +134,5 @@ def make_ackley_problem(
         move_fp=move_fp,
         apply_move=apply_move,
         perturb=perturb,
+        width=2 * d,
     )

@@ -337,4 +337,5 @@ def make_nqueens_problem(
         move_fp=move_fp,
         apply_move=apply_move,
         perturb=perturb,
+        width=a_max * n,
     )

@@ -122,8 +122,8 @@ def make_scheduling_problem(
         f32 = jnp.float32
         oh = jax.nn.one_hot(assign, n_emp, dtype=f32)  # [D, E]
 
-        # H1 — holidays (ref :272-280).
-        h1 = jnp.sum(jnp.take_along_axis(holiday.T, assign[:, None], axis=1))
+        # H1 — holidays (ref :272-280); one-hot contraction, not a gather.
+        h1 = jnp.sum(oh * holiday.T.astype(f32))
 
         # H2 — consecutive days (ref :285-292).
         h2 = jnp.sum(assign[:-1] == assign[1:]) if d_days >= 2 else 0
@@ -224,14 +224,15 @@ def make_scheduling_problem(
         d2 = (d1 + off) % d_days
         new_emp = jax.random.randint(k_emp, (w_size,), 0, n_emp, jnp.int32)
 
-        def build(one_swap, one_d1, one_d2, one_emp):
-            chg = assign.at[one_d1].set(one_emp)
-            swp = assign.at[one_d1].set(assign[one_d2]).at[one_d2].set(
-                assign[one_d1]
-            )
-            return jnp.where(one_swap, swp, chg)
-
-        cands = jax.vmap(build)(is_swap, d1, d2, new_emp)  # [W, D]
+        # Scatter/gather-free candidate materialization: [W, D] via masks.
+        iota = jnp.arange(d_days, dtype=jnp.int32)[None, :]
+        at_d1 = iota == d1[:, None]
+        at_d2 = iota == d2[:, None]
+        a1 = jnp.sum(jnp.where(at_d1, assign[None, :], 0), axis=1, keepdims=True)
+        a2 = jnp.sum(jnp.where(at_d2, assign[None, :], 0), axis=1, keepdims=True)
+        chg = jnp.where(at_d1, new_emp[:, None], assign[None, :])
+        swp = jnp.where(at_d1, a2, jnp.where(at_d2, a1, assign[None, :]))
+        cands = jnp.where(is_swap[:, None], swp, chg)  # [W, D]
         scores = jax.vmap(score)(cands)                    # [W, 2]
         valid = jnp.ones((w_size,), bool)
         return Neighborhood(scores=scores, moves=cands, valid=valid)
@@ -267,4 +268,5 @@ def make_scheduling_problem(
         move_fp=move_fp,
         apply_move=apply_move,
         perturb=perturb,
+        width=(w_size if proposer == "random" else d_days * (n_emp - 1)),
     )

@@ -146,6 +146,7 @@ class PopulationSolver:
         self.population = population
         self.exchange_every = exchange_every
         self.cancelled = False
+        self._wall = 0.0
         self.mesh = mesh
         if mesh is not None:
             # sharding-in-types (jax>=0.7) wants the mesh as ambient context
@@ -227,27 +228,47 @@ class PopulationSolver:
     def cancel(self) -> None:
         self.cancelled = True
 
-    def run(self, max_rounds: int | None = None, chunk: int | None = None) -> None:
+    def run(
+        self,
+        max_rounds: int | None = None,
+        chunk: int | None = None,
+        verbose: bool = False,
+    ) -> None:
+        import time
+
         chunk = chunk or self.exchange_every
         total = self.config.iterated_local_search_max_iterations
         if max_rounds is not None:
             total = min(total, self._round_count() + max_rounds)
         rounds_done = self._round_count()
+        t0 = time.time()
         while not self.cancelled and rounds_done < total:
             n = min(chunk, total - rounds_done)
             self.state = self._chunk_jit(self.state, n)
             rounds_done += n
             score = jnp.asarray(self._best_score_jit(self.state))
+            if verbose:
+                print(
+                    f"[{self.problem.name} xP{self.population}] round "
+                    f"{rounds_done}/{total} best score: ({score[0]}, {score[1]})"
+                )
             if bool(self.problem.is_best(score)):
                 break
+        self._wall += time.time() - t0
 
     def stats(self) -> dict:
         rounds, iters = self._probe_jit(self.state)
-        return {
+        iters = int(np.asarray(iters))
+        moves = iters * self.problem.width
+        out = {
             "rounds": int(np.asarray(rounds)),
             "population": self.population,
-            "ls_iterations": int(np.asarray(iters)),
+            "ls_iterations": iters,
+            "moves_evaluated": moves,
         }
+        if self._wall > 0:
+            out["moves_per_sec"] = round(moves / self._wall)
+        return out
 
     # -- checkpoint / resume (SURVEY.md §5) -------------------------------
 

@@ -53,7 +53,8 @@ def test_population_checkpoint_roundtrip(tmp_path):
     a.save(path)
     b = PopulationSolver(problem, _cfg(), population=4)
     b.load(path)
-    assert a.stats() == b.stats()
+    for key in ("rounds", "population", "ls_iterations", "moves_evaluated"):
+        assert a.stats()[key] == b.stats()[key]
     sa, _ = a.get_best_solution()
     sb, _ = b.get_best_solution()
     assert sa == sb
