@@ -22,7 +22,10 @@ import sys
 import time
 
 N = int(os.environ.get("BENCH_N", 1000))
-POP = int(os.environ.get("BENCH_POP", 64))
+# P=256 is the measured single-chip sweet spot (near-linear moves/s scaling
+# 16->64->256 with flat time-to-zero; P>=1024 risks overrunning the axon
+# relay's per-dispatch execution window).
+POP = int(os.environ.get("BENCH_POP", 256))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 2))
 FALLBACK_BASELINE = 7370.0  # measured 2026-08-17 on this host (see bench/)
 
@@ -68,6 +71,7 @@ def main() -> None:
         seed="bench",
         local_search_max_iterations=2_000,
         all_solutions_capacity=256,
+        best_solutions_capacity=8,
         iterated_local_search_max_iterations=10_000,
         max_allow_no_improvement_for=5,
     )

@@ -36,6 +36,7 @@ import numpy as np
 from constraint_solver_tpu.core.history import EliteArchive, TabuRing
 from constraint_solver_tpu.core.local_search import LsParams, _select, ls_execute
 from constraint_solver_tpu.core.problem import Problem
+from constraint_solver_tpu.ops.lex import lex_leq
 from constraint_solver_tpu.utils.seeding import seed_string_to_key
 
 
@@ -167,8 +168,6 @@ def ils_round(
     # :51-71) — the elite archive is never empty here because the insert
     # above precedes the choice.  Portfolio modes: greedy (temp == 0) and
     # SA-Metropolis on the hard channel (temp > 0).
-    from constraint_solver_tpu.ops.lex import lex_leq
-
     e_score, e_fp, e_state = elite.get_random(k_accept_elite)
     w = jnp.asarray(ils_params.accept_weights, jnp.float32)
     choice3 = jax.random.choice(k_accept, 3, p=w / w.sum())
