@@ -33,12 +33,15 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    from constraint_solver_tpu.core.ils import Solver, SolverConfig
+    import dataclasses
+
+    from constraint_solver_tpu.core.ils import Solver
     from constraint_solver_tpu.models.scheduling import (
         ScheduleSpec,
         make_scheduling_problem,
     )
     from constraint_solver_tpu.parallel.population import PopulationSolver
+    from constraint_solver_tpu.utils import presets
     from constraint_solver_tpu.utils.printing import (
         format_schedule,
         format_schedule_by_employee,
@@ -48,15 +51,10 @@ def main(argv=None):
     start = datetime.date.fromisoformat(args.start_date)
     end = start + datetime.timedelta(days=args.days - 1)
     spec = ScheduleSpec.from_dates(start, end, args.employees)
-    # Reference hyperparameters (main.rs:25-31).
-    config = SolverConfig(
-        seed=args.seed,
-        local_search_max_iterations=1_000,
-        best_solutions_capacity=64,
-        all_solutions_capacity=512,
-        all_solution_iteration_expiry=1_000,
+    # Reference hyperparameters (main.rs:25-31) via the preset.
+    config = dataclasses.replace(
+        presets.scheduling_cli(seed=args.seed),
         iterated_local_search_max_iterations=args.rounds,
-        max_allow_no_improvement_for=20,
     )
     problem = make_scheduling_problem(spec, window_size=args.window_size)
     t0 = time.time()

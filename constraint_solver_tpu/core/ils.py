@@ -269,18 +269,24 @@ class Solver:
         max_rounds: int | None = None,
         chunk: int = 16,
         verbose: bool = False,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 200,
     ) -> None:
         """Run rounds until finished/converged/cancelled.  ``chunk`` rounds
         execute per device dispatch; between chunks the host checks
         convergence (the reference's per-round host loop, amortized).
         ``verbose`` logs the best score per chunk, the analog of the
-        reference's per-round progress print (iterated_local_search.rs:176-179)."""
+        reference's per-round progress print (iterated_local_search.rs:176-179).
+        With ``checkpoint_path``, the full solver state is snapshotted every
+        ``checkpoint_every`` rounds — the restartable-outer-loop failure
+        story of SURVEY.md §5."""
         import time
 
         total = self.config.iterated_local_search_max_iterations
         if max_rounds is not None:
             total = min(total, int(self.state.round) + max_rounds)
         rounds_done = int(self.state.round)
+        last_ckpt = rounds_done
         t0 = time.time()
         while not self.cancelled and rounds_done < total:
             n = min(chunk, total - rounds_done)
@@ -292,9 +298,14 @@ class Solver:
                     f"[{self.problem.name}] round {rounds_done}/{total} "
                     f"best score: ({score[0]}, {score[1]})"
                 )
+            if checkpoint_path and rounds_done - last_ckpt >= checkpoint_every:
+                self.save(checkpoint_path)
+                last_ckpt = rounds_done
             if bool(self.problem.is_best(score)):
                 break
         self._wall += time.time() - t0
+        if checkpoint_path:
+            self.save(checkpoint_path)
 
     # -- checkpoint / resume (SURVEY.md §5) -------------------------------
 
