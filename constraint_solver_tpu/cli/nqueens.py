@@ -21,6 +21,9 @@ def main(argv=None):
     parser.add_argument("--board-size", "-b", type=int, default=8)
     parser.add_argument("--population", "-p", type=int, default=1,
                         help="parallel ILS trajectories (TPU-native extra)")
+    parser.add_argument("--algo", choices=["ils", "pmc"], default="ils",
+                        help="ils = reference-style iterated local search; "
+                        "pmc = synchronous parallel min-conflicts")
     parser.add_argument("--rounds", type=int, default=10_000,
                         help="max ILS rounds (ref: 10_000)")
     parser.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
@@ -52,11 +55,23 @@ def main(argv=None):
     )
     problem = make_nqueens_problem(n, use_pallas=(args.platform == "tpu"))
     t0 = time.time()
-    if args.population > 1:
+    if args.algo == "pmc":
+        from constraint_solver_tpu.models.nqueens_parallel import (
+            ParallelMinConflictsSolver,
+        )
+
+        solver = ParallelMinConflictsSolver(
+            n,
+            seed=args.seed,
+            use_pallas=(args.platform == "tpu"),
+            population=args.population,
+        )
+    elif args.population > 1:
         solver = PopulationSolver(problem, config, population=args.population)
+        solver.run()
     else:
         solver = Solver(problem, config)
-    solver.run()
+        solver.run()
     (hard, _soft), best_state = solver.get_best_solution()
     wall = time.time() - t0
 

@@ -1,0 +1,198 @@
+"""Synchronous parallel min-conflicts for N-Queens (beyond-parity mode).
+
+The reference (and our ILS engine) moves ONE queen per inner iteration —
+a sequential descent of ~O(n) steps.  This module is the TPU-first
+alternative: every step scores the FULL [n, n] move matrix (every column x
+every row) with the same O(1) delta algebra, then applies MANY moves at
+once:
+
+1. per-column best row via delta scores (one dense [n, n] block — the
+   Pallas kernel or the XLA slice path, reused from models/nqueens.py);
+2. damped acceptance: improving columns are applied independently with
+   probability ``p_accept`` (synchronous parallel local search; damping
+   breaks oscillations between interacting moves);
+3. monotonicity fallback: if the combined step made the score worse
+   (interacting moves), the step is replaced by the single best move —
+   guaranteeing at least sequential min-conflicts progress;
+4. counters are rebuilt once per STEP (not per move) with the one-hot
+   reductions.
+
+A solve takes O(log-ish) hundreds of steps instead of thousands of
+single-move iterations, and each step is one dense kernel — this is the
+configuration that maximizes time-to-zero-violations per chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from constraint_solver_tpu.models.nqueens import (
+    NQState,
+    build_state,
+)
+from constraint_solver_tpu.utils.seeding import seed_string_to_key
+
+
+class PMCState(NamedTuple):
+    state: NQState
+    score: jax.Array   # float32[] total conflicts
+    steps: jax.Array   # int32[]
+    key: jax.Array
+
+
+def _score_matrix(st: NQState, use_pallas: bool | str) -> jax.Array:
+    """[n, n] candidate scores: score_matrix[c, r'] = total conflicts after
+    moving column c's queen to row r'."""
+    n = st.rows.shape[0]
+    c = jnp.arange(n, dtype=jnp.int32)
+    r = st.rows
+    removed = st.cs  # (rc[r]-1)+(dc[d]-1)+(ac[a]-1) per column == col score
+    s = lambda cnt: jnp.sum(cnt * (cnt - 1))
+    cur = (s(st.rc) + s(st.dc) + s(st.ac)).astype(jnp.float32)
+    if use_pallas:
+        from constraint_solver_tpu.ops.nqueens_pallas import (
+            nqueens_neighborhood_scores,
+        )
+
+        return nqueens_neighborhood_scores(
+            st.rows, st.rc, st.dc, st.ac, c, r, removed, cur,
+            interpret=(use_pallas == "interpret"),
+        )
+    rp = jnp.arange(n, dtype=jnp.int32)[None, :]
+    dc_at = jax.vmap(lambda o: jax.lax.dynamic_slice(st.dc, (o,), (n,)))(
+        (n - 1) - c
+    )
+    ac_at = jax.vmap(lambda o: jax.lax.dynamic_slice(st.ac, (o,), (n,)))(c)
+    same = rp == r[:, None]
+    added = (st.rc[None, :] - same) + (dc_at - same) + (ac_at - same)
+    return cur + 2.0 * (added - removed[:, None])
+
+
+def pmc_step(use_pallas, p_accept, carry: PMCState) -> PMCState:
+    st = carry.state
+    n = st.rows.shape[0]
+    key, k_u, k_kcol, k_krow = jax.random.split(carry.key, 4)
+
+    scores = _score_matrix(st, use_pallas)          # [n, n]
+    best_row = jnp.argmin(scores, axis=1).astype(jnp.int32)  # [n]
+    best_score = jnp.min(scores, axis=1)            # [n]
+    improving = best_score < carry.score
+    stuck = ~jnp.any(improving)
+
+    # Damped parallel acceptance.
+    u = jax.random.uniform(k_u, (n,))
+    accept = improving & (u < p_accept)
+    rows_par = jnp.where(accept, best_row, st.rows)
+
+    # Fallback: the single globally best move (sequential min-conflicts).
+    best_col = jnp.argmin(best_score)
+    rows_one = st.rows.at[best_col].set(best_row[best_col])
+
+    # Plateau escape: no improving move anywhere — kick a random conflicted
+    # column to a random row (the stochastic escape of classic
+    # min-conflicts; without it the descent stalls at small plateaus).
+    logits = jnp.where(st.cs > 0, 0.0, -jnp.inf)
+    kick_col = jax.random.categorical(k_kcol, logits)
+    kick_row = jax.random.randint(k_krow, (), 0, n, jnp.int32)
+    rows_kick = st.rows.at[kick_col].set(kick_row)
+
+    s = lambda cnt: jnp.sum(cnt * (cnt - 1))
+    st_par = build_state(rows_par)
+    score_par = (s(st_par.rc) + s(st_par.dc) + s(st_par.ac)).astype(jnp.float32)
+    st_one = build_state(rows_one)
+    score_one = (s(st_one.rc) + s(st_one.dc) + s(st_one.ac)).astype(jnp.float32)
+    st_kick = build_state(rows_kick)
+    score_kick = (s(st_kick.rc) + s(st_kick.dc) + s(st_kick.ac)).astype(
+        jnp.float32
+    )
+
+    take_par = (~stuck) & (score_par <= jnp.minimum(carry.score, score_one))
+    take_one = (~stuck) & ~take_par
+
+    def sel3(a, b, c):
+        return jnp.where(take_par, a, jnp.where(take_one, b, c))
+
+    new_state = jax.tree.map(sel3, st_par, st_one, st_kick)
+    new_score = sel3(score_par, score_one, score_kick)
+    return PMCState(
+        state=new_state, score=new_score, steps=carry.steps + 1, key=key
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "max_steps", "p_accept", "use_pallas"))
+def pmc_solve(
+    n: int,
+    key: jax.Array,
+    max_steps: int = 5000,
+    p_accept: float = 0.7,
+    use_pallas: bool | str = False,
+) -> PMCState:
+    """Solve n-queens by parallel min-conflicts from a random permutation.
+    Stops at 0 conflicts or after ``max_steps``."""
+    key, k_init = jax.random.split(key)
+    st = build_state(
+        jax.random.permutation(k_init, jnp.arange(n, dtype=jnp.int32))
+    )
+    s = lambda cnt: jnp.sum(cnt * (cnt - 1))
+    score = (s(st.rc) + s(st.dc) + s(st.ac)).astype(jnp.float32)
+    carry = PMCState(state=st, score=score, steps=jnp.int32(0), key=key)
+
+    def cond(c: PMCState):
+        return (c.score > 0) & (c.steps < max_steps)
+
+    return jax.lax.while_loop(
+        cond, partial(pmc_step, use_pallas, p_accept), carry
+    )
+
+
+class ParallelMinConflictsSolver:
+    """Driver wrapper matching the Solver result surface."""
+
+    def __init__(
+        self,
+        board_size: int,
+        seed: str = "42",
+        max_steps: int = 5000,
+        p_accept: float = 0.7,
+        use_pallas: bool | str = False,
+        population: int = 1,
+    ):
+        self.n = board_size
+        self.population = population
+        key = seed_string_to_key(seed)
+        if population == 1:
+            self._out = pmc_solve(
+                board_size, key, max_steps, p_accept, use_pallas
+            )
+        else:
+            keys = jax.random.split(key, population)
+            solve = partial(
+                pmc_solve,
+                board_size,
+                max_steps=max_steps,
+                p_accept=p_accept,
+                use_pallas=use_pallas,
+            )
+            outs = jax.vmap(solve)(keys)
+            lane = jnp.argmin(outs.score)
+            self._out = jax.tree.map(lambda a: a[lane], outs)
+            self._all_scores = outs.score
+
+    def get_best_solution(self):
+        out = self._out
+        return (float(np.asarray(out.score)), 0.0), jax.tree.map(
+            np.asarray, out.state
+        )
+
+    def stats(self) -> dict:
+        # Each step evaluates the full n x n move matrix.
+        steps = int(np.asarray(self._out.steps))
+        return {
+            "steps": steps,
+            "moves_evaluated": steps * self.n * self.n * max(1, self.population),
+        }
