@@ -101,6 +101,20 @@ def main() -> None:
         f"in {ttz:.2f}s = {throughput:.3g} moves/s"
     )
 
+    # --- extra: parallel min-conflicts time-to-zero (beyond-parity mode) --
+    from constraint_solver_tpu.models.nqueens_parallel import pmc_solve
+
+    out = pmc_solve(N, jax.random.key(0), max_steps=5000)  # compile
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = pmc_solve(N, jax.random.key(1), max_steps=5000)
+    pmc_score = float(out.score)
+    pmc_ttz = time.time() - t0
+    log(
+        f"parallel-min-conflicts nqueens-{N}: score={pmc_score} "
+        f"steps={int(out.steps)} time-to-zero={pmc_ttz:.2f}s"
+    )
+
     print(
         json.dumps(
             {

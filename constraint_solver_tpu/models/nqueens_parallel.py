@@ -102,29 +102,67 @@ def pmc_step(use_pallas, p_accept, carry: PMCState) -> PMCState:
     rows_kick = st.rows.at[kick_col].set(kick_row)
 
     s = lambda cnt: jnp.sum(cnt * (cnt - 1))
-    st_par = build_state(rows_par)
-    score_par = (s(st_par.rc) + s(st_par.dc) + s(st_par.ac)).astype(jnp.float32)
-    st_one = build_state(rows_one)
-    score_one = (s(st_one.rc) + s(st_one.dc) + s(st_one.ac)).astype(jnp.float32)
-    st_kick = build_state(rows_kick)
-    score_kick = (s(st_kick.rc) + s(st_kick.dc) + s(st_kick.ac)).astype(
-        jnp.float32
+
+    def rebuild(rows):
+        st2 = build_state(rows)
+        return st2, (s(st2.rc) + s(st2.dc) + s(st2.ac)).astype(jnp.float32)
+
+    # Common path: the damped parallel step improves — one rebuild.  The
+    # fallback (single best move) and the plateau kick live behind lax.cond
+    # so their O(n^2) rebuilds only execute when actually needed.
+    st_par, score_par = rebuild(rows_par)
+    par_good = (~stuck) & (score_par < carry.score)
+
+    def fallback(_):
+        def kicked(_):
+            return rebuild(rows_kick)
+
+        def single(_):
+            return rebuild(rows_one)
+
+        return jax.lax.cond(stuck, kicked, single, None)
+
+    new_state, new_score = jax.lax.cond(
+        par_good, lambda _: (st_par, score_par), fallback, None
     )
-
-    take_par = (~stuck) & (score_par <= jnp.minimum(carry.score, score_one))
-    take_one = (~stuck) & ~take_par
-
-    def sel3(a, b, c):
-        return jnp.where(take_par, a, jnp.where(take_one, b, c))
-
-    new_state = jax.tree.map(sel3, st_par, st_one, st_kick)
-    new_score = sel3(score_par, score_one, score_kick)
     return PMCState(
         state=new_state, score=new_score, steps=carry.steps + 1, key=key
     )
 
 
-@partial(jax.jit, static_argnames=("n", "max_steps", "p_accept", "use_pallas"))
+@partial(jax.jit, static_argnames=("n", "p_accept", "use_pallas"))
+def pmc_init(
+    n: int, key: jax.Array, p_accept: float = 0.7, use_pallas: bool | str = False
+) -> PMCState:
+    del p_accept, use_pallas
+    key, k_init = jax.random.split(key)
+    st = build_state(
+        jax.random.permutation(k_init, jnp.arange(n, dtype=jnp.int32))
+    )
+    s = lambda cnt: jnp.sum(cnt * (cnt - 1))
+    score = (s(st.rc) + s(st.dc) + s(st.ac)).astype(jnp.float32)
+    return PMCState(state=st, score=score, steps=jnp.int32(0), key=key)
+
+
+@partial(jax.jit, static_argnames=("max_steps", "p_accept", "use_pallas"))
+def pmc_run(
+    carry: PMCState,
+    max_steps: int,
+    p_accept: float = 0.7,
+    use_pallas: bool | str = False,
+) -> PMCState:
+    """Continue a solve for up to ``max_steps`` more steps (stops early at
+    0 conflicts).  Chunk-friendly: re-invoke with the returned carry."""
+    limit = carry.steps + max_steps
+
+    def cond(c: PMCState):
+        return (c.score > 0) & (c.steps < limit)
+
+    return jax.lax.while_loop(
+        cond, partial(pmc_step, use_pallas, p_accept), carry
+    )
+
+
 def pmc_solve(
     n: int,
     key: jax.Array,
@@ -133,21 +171,9 @@ def pmc_solve(
     use_pallas: bool | str = False,
 ) -> PMCState:
     """Solve n-queens by parallel min-conflicts from a random permutation.
-    Stops at 0 conflicts or after ``max_steps``."""
-    key, k_init = jax.random.split(key)
-    st = build_state(
-        jax.random.permutation(k_init, jnp.arange(n, dtype=jnp.int32))
-    )
-    s = lambda cnt: jnp.sum(cnt * (cnt - 1))
-    score = (s(st.rc) + s(st.dc) + s(st.ac)).astype(jnp.float32)
-    carry = PMCState(state=st, score=score, steps=jnp.int32(0), key=key)
-
-    def cond(c: PMCState):
-        return (c.score > 0) & (c.steps < max_steps)
-
-    return jax.lax.while_loop(
-        cond, partial(pmc_step, use_pallas, p_accept), carry
-    )
+    Stops at 0 conflicts or after ``max_steps`` (one device dispatch)."""
+    carry = pmc_init(n, key, p_accept, use_pallas)
+    return pmc_run(carry, max_steps, p_accept, use_pallas)
 
 
 class ParallelMinConflictsSolver:
