@@ -270,6 +270,31 @@ class PopulationSolver:
             out["moves_per_sec"] = round(moves / self._wall)
         return out
 
+    def reseed_from_elites(self) -> None:
+        """Warm-restart every lane's current solution from a random entry of
+        its elite archive — the elastic-recovery story (SURVEY.md §5): after
+        a slice restart, load the last checkpoint (exact) or call this to
+        re-converge from gathered elites (approximate but warm)."""
+
+        def reseed(st: IlsState) -> IlsState:
+            def one(lane: IlsState) -> IlsState:
+                key, k_pick = jax.random.split(lane.key)
+                score, fp, state = lane.elite.get_random(k_pick)
+                has = jnp.any(lane.elite.valid)
+                sel = lambda a, b: jax.tree.map(
+                    lambda x, y: jnp.where(has, x, y), a, b
+                )
+                return lane._replace(
+                    current_state=sel(state, lane.current_state),
+                    current_score=jnp.where(has, score, lane.current_score),
+                    current_fp=jnp.where(has, fp, lane.current_fp),
+                    key=key,
+                )
+
+            return jax.vmap(one)(st)
+
+        self.state = jax.jit(reseed)(self.state)
+
     # -- checkpoint / resume (SURVEY.md §5) -------------------------------
 
     def save(self, path: str) -> None:

@@ -81,3 +81,19 @@ def test_population_deterministic():
         (hard, soft), state = solver.get_best_solution()
         results.append((hard, soft, tuple(state.rows.tolist())))
     assert results[0] == results[1]
+
+
+def test_reseed_from_elites():
+    solver = PopulationSolver(make_nqueens_problem(8), _config(rounds=20), population=4)
+    solver.run(max_rounds=10)
+    import numpy as np
+
+    scores_best, _, _ = jax.vmap(lambda e: e.get_best())(solver.state.elite)
+    solver.reseed_from_elites()
+    cur = np.asarray(solver.state.current_fp)
+    elite_fps = np.asarray(solver.state.elite.fps)
+    valid = np.asarray(solver.state.elite.valid)
+    # Every lane's current fingerprint now matches one of its elites.
+    for lane in range(4):
+        lane_fps = {tuple(f) for f, v in zip(elite_fps[lane], valid[lane]) if v}
+        assert tuple(cur[lane]) in lane_fps
