@@ -66,7 +66,7 @@ def main() -> None:
     log(f"devices: {jax.devices()}")
     on_tpu = jax.devices()[0].platform != "cpu"
     problem = make_nqueens_problem(N, use_pallas=on_tpu)
-    moves_per_ls_iter = max(1, N // 20) * N
+    moves_per_ls_iter = problem.width
     config = SolverConfig(
         seed="bench",
         local_search_max_iterations=2_000,

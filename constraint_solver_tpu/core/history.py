@@ -137,10 +137,8 @@ class EliteArchive(NamedTuple):
     def get_random(self, key: jax.Array):
         """Uniform random valid entry (ref History::get_random_best_solution,
         local_search.rs:220-228).  Caller guarantees >= 1 valid entry."""
-        k = self.valid.shape[0]
         logits = jnp.where(self.valid, 0.0, -jnp.inf)
         idx = jax.random.categorical(key, logits)
-        del k
         return (
             self.scores[idx],
             self.fps[idx],

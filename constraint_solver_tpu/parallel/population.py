@@ -111,7 +111,6 @@ def exchange_elites(
             b_score, b_fp, b_state = jax.vmap(lambda e: e.get_best())(
                 states.elite
             )
-            sel = lambda a, b: jax.vmap(jnp.where)(cull, a, b)
             states = states._replace(
                 current_state=jax.tree.map(
                     lambda a, b: jnp.where(
@@ -123,7 +122,6 @@ def exchange_elites(
                 current_score=jnp.where(cull[:, None], b_score, states.current_score),
                 current_fp=jnp.where(cull[:, None], b_fp, states.current_fp),
             )
-            del sel
     return states
 
 

@@ -58,6 +58,9 @@ class SolverService:
             make_scheduling_problem,
         )
 
+        for field in ("startDate", "endDate"):
+            if field not in payload:
+                raise ValueError(f"missing required field {field!r}")
         start = datetime.date.fromisoformat(payload["startDate"])
         end = datetime.date.fromisoformat(payload["endDate"])
         employees = [e["id"] for e in payload.get("employees", [])]
@@ -126,7 +129,15 @@ class SolverService:
     def _best_payload(self, ctx: dict) -> dict:
         """The wasm get_best_solution shape: score + '%a %Y-%m-%d' day keys
         (wasm lib.rs:71-84)."""
+        import math
+
         (hard, soft), assign = ctx["solver"].get_best_solution()
+        if not (math.isfinite(hard) and math.isfinite(soft)):
+            # No round has run yet: the elite archive is empty (the
+            # reference would panic on get_best_solution here).  Report a
+            # null score and no assignment instead of invalid-JSON Infinity.
+            return {"score": {"hard_score": None, "soft_score": None},
+                    "days_to_employees": []}
         start = ctx["start"]
         employees = ctx["employees"]
         days = []

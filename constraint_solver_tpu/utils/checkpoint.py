@@ -52,12 +52,18 @@ def save_state(path: str, state: IlsState, meta: dict | None = None) -> None:
     )
     arrays["__header__"] = np.frombuffer(header.encode(), dtype=np.uint8)
     arrays["__key_leaves__"] = np.asarray(key_idx, dtype=np.int64)
+    # np.savez silently appends '.npz' to bare paths; normalize so
+    # save/load round-trip for any path the caller picked.
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez(path, **arrays)
 
 
 def load_state(path: str, example: IlsState) -> tuple[IlsState, dict]:
     """Load a checkpoint; ``example`` provides the pytree structure (build it
     with the same problem/config used at save time)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     with np.load(path) as data:
         header = json.loads(bytes(data["__header__"]).decode())
         assert header["version"] == _FORMAT_VERSION, header

@@ -71,3 +71,16 @@ def test_checkpoint_rejects_wrong_problem(tmp_path):
         raise AssertionError("expected mismatch assertion")
     except AssertionError as e:
         assert "checkpoint is for" in str(e) or "expected" not in str(e)
+
+
+def test_checkpoint_path_without_npz_extension(tmp_path):
+    problem = make_nqueens_problem(8)
+    a = Solver(problem, _cfg())
+    a.run(max_rounds=3, chunk=3)
+    path = str(tmp_path / "bare_path")  # no .npz
+    a.save(path)
+    b = Solver(problem, _cfg())
+    b.load(path)
+    sa, _ = a.get_best_solution()
+    sb, _ = b.get_best_solution()
+    assert sa == sb

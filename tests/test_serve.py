@@ -95,3 +95,22 @@ def test_index_page(server_url):
         html = resp.read().decode()
     assert "Employee scheduling" in html
     assert "Start solving" in html
+
+
+def test_best_before_first_round_is_valid_json(server_url):
+    status, res = _req(server_url + "/api/solvers", "POST", {
+        "startDate": "2022-05-09", "endDate": "2022-05-15",
+        "employees": [{"id": 0}, {"id": 1}], "employeeHolidays": [[], []],
+    })
+    sid = res["solverId"]
+    status, best = _req(f"{server_url}/api/solvers/{sid}/best")
+    assert status == 200
+    assert best["score"]["hard_score"] is None
+    assert best["days_to_employees"] == []
+    _req(f"{server_url}/api/solvers/{sid}", "DELETE")
+
+
+def test_missing_fields_return_400(server_url):
+    status, err = _req(server_url + "/api/solvers", "POST", {"employees": []})
+    assert status == 400
+    assert "startDate" in err["error"]
