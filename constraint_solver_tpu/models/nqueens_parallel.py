@@ -45,13 +45,23 @@ class PMCState(NamedTuple):
     key: jax.Array
 
 
-def _score_matrix(st: NQState, use_pallas: bool | str) -> jax.Array:
-    """[n, n] candidate scores: score_matrix[c, r'] = total conflicts after
-    moving column c's queen to row r'."""
+def _score_matrix(
+    st: NQState, use_pallas: bool | str, c: jax.Array | None = None
+) -> jax.Array:
+    """[A, n] candidate scores for columns ``c`` (default: all n columns):
+    score_matrix[j, r'] = total conflicts after moving column c_j's queen
+    to row r'."""
     n = st.rows.shape[0]
-    c = jnp.arange(n, dtype=jnp.int32)
-    r = st.rows
-    removed = st.cs  # (rc[r]-1)+(dc[d]-1)+(ac[a]-1) per column == col score
+    if c is None:
+        c = jnp.arange(n, dtype=jnp.int32)
+        r = st.rows
+        removed = st.cs  # (rc[r]-1)+(dc-1)+(ac-1) per column == col score
+    else:
+        onehot = (c[:, None] == jnp.arange(n, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        r = jnp.sum(onehot * st.rows, axis=-1).astype(jnp.int32)
+        removed = jnp.sum(onehot * st.cs, axis=-1)
     s = lambda cnt: jnp.sum(cnt * (cnt - 1))
     cur = (s(st.rc) + s(st.dc) + s(st.ac)).astype(jnp.float32)
     if use_pallas:
@@ -73,25 +83,43 @@ def _score_matrix(st: NQState, use_pallas: bool | str) -> jax.Array:
     return cur + 2.0 * (added - removed[:, None])
 
 
-def pmc_step(use_pallas, p_accept, carry: PMCState) -> PMCState:
+def pmc_step(use_pallas, p_accept, sample_cols, carry: PMCState) -> PMCState:
     st = carry.state
     n = st.rows.shape[0]
-    key, k_u, k_kcol, k_krow = jax.random.split(carry.key, 4)
+    key, k_u, k_kcol, k_krow, k_gum = jax.random.split(carry.key, 5)
 
-    scores = _score_matrix(st, use_pallas)          # [n, n]
-    best_row = jnp.argmin(scores, axis=1).astype(jnp.int32)  # [n]
-    best_score = jnp.min(scores, axis=1)            # [n]
+    if sample_cols is None:
+        cols = jnp.arange(n, dtype=jnp.int32)            # all columns
+        scores = _score_matrix(st, use_pallas)           # [n, n]
+    else:
+        # Huge boards: Gumbel-sample A conflicted columns (weighted by
+        # conflict count) so the score block stays [A, n].
+        logits = jnp.where(st.cs > 0, jnp.log(st.cs + 1e-4), -jnp.inf)
+        gum = jax.random.gumbel(k_gum, (n,))
+        _, cols = jax.lax.top_k(logits + gum, sample_cols)
+        cols = cols.astype(jnp.int32)
+        scores = _score_matrix(st, use_pallas, cols)     # [A, n]
+
+    a = cols.shape[0]
+    best_row = jnp.argmin(scores, axis=1).astype(jnp.int32)  # [A]
+    best_score = jnp.min(scores, axis=1)                 # [A]
     improving = best_score < carry.score
     stuck = ~jnp.any(improving)
 
-    # Damped parallel acceptance.
-    u = jax.random.uniform(k_u, (n,))
+    # Damped parallel acceptance, materialized scatter-free: accepted
+    # sampled columns overwrite their row via a one-hot contraction.
+    u = jax.random.uniform(k_u, (a,))
     accept = improving & (u < p_accept)
-    rows_par = jnp.where(accept, best_row, st.rows)
+    onehot = (cols[:, None] == jnp.arange(n, dtype=jnp.int32)) & accept[:, None]
+    col_hit = jnp.any(onehot, axis=0)                    # [n]
+    col_val = jnp.sum(
+        onehot.astype(jnp.int32) * best_row[:, None], axis=0
+    )  # [n] (columns are distinct, so at most one contribution)
+    rows_par = jnp.where(col_hit, col_val, st.rows)
 
-    # Fallback: the single globally best move (sequential min-conflicts).
-    best_col = jnp.argmin(best_score)
-    rows_one = st.rows.at[best_col].set(best_row[best_col])
+    # Fallback: the single globally best sampled move.
+    j_best = jnp.argmin(best_score)
+    rows_one = st.rows.at[cols[j_best]].set(best_row[j_best])
 
     # Plateau escape: no improving move anywhere — kick a random conflicted
     # column to a random row (the stochastic escape of classic
@@ -134,7 +162,7 @@ def pmc_step(use_pallas, p_accept, carry: PMCState) -> PMCState:
 def pmc_init(
     n: int, key: jax.Array, p_accept: float = 0.7, use_pallas: bool | str = False
 ) -> PMCState:
-    del p_accept, use_pallas
+    del p_accept, use_pallas  # part of the logical config, unused here
     key, k_init = jax.random.split(key)
     st = build_state(
         jax.random.permutation(k_init, jnp.arange(n, dtype=jnp.int32))
@@ -144,12 +172,13 @@ def pmc_init(
     return PMCState(state=st, score=score, steps=jnp.int32(0), key=key)
 
 
-@partial(jax.jit, static_argnames=("max_steps", "p_accept", "use_pallas"))
+@partial(jax.jit, static_argnames=("max_steps", "p_accept", "use_pallas", "sample_cols"))
 def pmc_run(
     carry: PMCState,
     max_steps: int,
     p_accept: float = 0.7,
     use_pallas: bool | str = False,
+    sample_cols: int | None = None,
 ) -> PMCState:
     """Continue a solve for up to ``max_steps`` more steps (stops early at
     0 conflicts).  Chunk-friendly: re-invoke with the returned carry."""
@@ -159,7 +188,7 @@ def pmc_run(
         return (c.score > 0) & (c.steps < limit)
 
     return jax.lax.while_loop(
-        cond, partial(pmc_step, use_pallas, p_accept), carry
+        cond, partial(pmc_step, use_pallas, p_accept, sample_cols), carry
     )
 
 
@@ -169,11 +198,14 @@ def pmc_solve(
     max_steps: int = 5000,
     p_accept: float = 0.7,
     use_pallas: bool | str = False,
+    sample_cols: int | None = None,
 ) -> PMCState:
     """Solve n-queens by parallel min-conflicts from a random permutation.
-    Stops at 0 conflicts or after ``max_steps`` (one device dispatch)."""
+    Stops at 0 conflicts or after ``max_steps`` (one device dispatch).
+    ``sample_cols``: bound the per-step score block to [A, n] for huge
+    boards (default: all n columns)."""
     carry = pmc_init(n, key, p_accept, use_pallas)
-    return pmc_run(carry, max_steps, p_accept, use_pallas)
+    return pmc_run(carry, max_steps, p_accept, use_pallas, sample_cols)
 
 
 class ParallelMinConflictsSolver:

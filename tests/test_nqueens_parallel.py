@@ -45,3 +45,9 @@ def test_deterministic():
         np.asarray(a.state.rows), np.asarray(b.state.rows)
     )
     assert int(a.steps) == int(b.steps)
+
+
+def test_sampled_columns_mode_solves():
+    out = pmc_solve(64, jax.random.key(4), max_steps=3000, sample_cols=16)
+    assert float(out.score) == 0.0
+    assert int(total_conflicts(out.state.rows)) == 0
