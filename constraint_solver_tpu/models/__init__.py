@@ -4,3 +4,4 @@ from constraint_solver_tpu.models.scheduling import (  # noqa: F401
     ScheduleSpec,
     make_scheduling_problem,
 )
+from constraint_solver_tpu.models.qap import QAPSpec, make_qap_problem  # noqa: F401

@@ -1,0 +1,181 @@
+"""Quadratic Assignment Problem domain — the MXU-resident model family.
+
+Not in the reference (which ships Ackley/N-Queens/scheduling); added because
+QAP is the canonical hard assignment problem the framework's delta-evaluation
+design targets — every technique paper retrieved for this build (PAPERS.md:
+O(1) delta components, GPU SA/tabu for QAP) is about exactly this workload.
+
+Problem: place n facilities on n locations (permutation ``p``) minimizing
+
+    cost(p) = sum_{i,j} F[i, j] * D[p[i], p[j]]
+
+with symmetric flow F and distance D (zero diagonals).
+
+TPU-native scoring: let G = D[p][:, p] be the permuted distance matrix
+(computed gather-free as onehot(p) @ D @ onehot(p)^T — two MXU matmuls).
+Then
+
+    cost = sum(F * G)
+
+and the swap delta for ALL n^2 facility pairs at once is ONE matmul:
+
+    H = F @ G                                     # [n, n] on the MXU
+    delta[a, b] = 2 * (H[a,b] + H[b,a] - H[a,a] - H[b,b] + 2 * F[a,b] * G[a,b])
+
+where the F[a,b]*G[a,b] term corrects the k in {a, b} contributions
+(standard QAP swap algebra, cf. the O(1) delta-component paper in
+PAPERS.md).  The whole
+neighborhood (n(n-1)/2 swaps) is scored by one [n,n]x[n,n] matmul — the MXU
+does the heavy lifting, unlike the VPU-bound N-Queens/scheduling paths.
+
+Property-tested against naive full rescores (tests/test_qap.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from constraint_solver_tpu.core.problem import Neighborhood, Problem
+from constraint_solver_tpu.ops.fingerprint import fingerprint_i32
+from constraint_solver_tpu.ops.lex import make_score
+
+
+class QAPSpec(NamedTuple):
+    flow: tuple      # hashable [n][n]
+    dist: tuple
+
+    @staticmethod
+    def random(n: int, seed: int = 0, max_val: int = 10) -> "QAPSpec":
+        """A random symmetric instance with zero diagonals (the classic
+        Taillard-style uniform generator)."""
+        rng = np.random.default_rng(seed)
+
+        def sym(m):
+            m = np.triu(m, 1)
+            return m + m.T
+
+        flow = sym(rng.integers(0, max_val + 1, (n, n)))
+        dist = sym(rng.integers(0, max_val + 1, (n, n)))
+        return QAPSpec(
+            flow=tuple(map(tuple, flow.tolist())),
+            dist=tuple(map(tuple, dist.tolist())),
+        )
+
+    def arrays(self):
+        return (
+            np.asarray(self.flow, np.float32),
+            np.asarray(self.dist, np.float32),
+        )
+
+
+def qap_cost_naive(flow: np.ndarray, dist: np.ndarray, p: np.ndarray) -> float:
+    """Host oracle: direct double sum."""
+    return float(np.sum(flow * dist[np.ix_(p, p)]))
+
+
+def make_qap_problem(spec: QAPSpec) -> Problem:
+    flow_np, dist_np = spec.arrays()
+    n = flow_np.shape[0]
+    flow = jnp.asarray(flow_np)
+    dist = jnp.asarray(dist_np)
+
+    def permuted_dist(p: jax.Array) -> jax.Array:
+        """G = D[p][:, p] via onehot matmuls (MXU, gather-free)."""
+        onehot = (p[:, None] == jnp.arange(n, dtype=p.dtype)).astype(
+            jnp.float32
+        )
+        return onehot @ dist @ onehot.T
+
+    def init(key):
+        return jax.random.permutation(key, jnp.arange(n, dtype=jnp.int32))
+
+    def score(p):
+        return make_score(jnp.sum(flow * permuted_dist(p)))
+
+    def is_best(s):
+        return jnp.asarray(False)  # optimum unknown in general
+
+    def fingerprint(p):
+        return fingerprint_i32(p)
+
+    def neighborhood(p, cur_score, _key):
+        # All-pairs swap deltas in one MXU matmul (module docstring).
+        g = permuted_dist(p)
+        h = jnp.dot(flow, g.T, preferred_element_type=jnp.float32)
+        hd = jnp.diagonal(h)
+        delta = 2.0 * (
+            h + h.T - hd[:, None] - hd[None, :] + 2.0 * flow * g
+        )
+        cand = cur_score[0] + delta  # [n, n]; diagonal = no-op (delta 0)
+        ia = jnp.arange(n, dtype=jnp.int32)
+        a_idx = jnp.broadcast_to(ia[:, None], (n, n)).reshape(-1)
+        b_idx = jnp.broadcast_to(ia[None, :], (n, n)).reshape(-1)
+        valid = (a_idx < b_idx)  # each unordered swap once, no no-ops
+        return Neighborhood(
+            scores=make_score(cand.reshape(-1)),
+            moves=(a_idx, b_idx),
+            valid=valid,
+        )
+
+    def move_fp(p, cur_fp, moves, idx):
+        a_idx, b_idx = moves
+        a, b = a_idx[idx], b_idx[idx]
+        from constraint_solver_tpu.ops.fingerprint import fp_update
+
+        pa = p[a].astype(jnp.uint32)
+        pb = p[b].astype(jnp.uint32)
+        return fp_update(fp_update(cur_fp, a, pa, pb), b, pb, pa)
+
+    def apply_move(p, moves, idx):
+        a_idx, b_idx = moves
+        a, b = a_idx[idx], b_idx[idx]
+        pa, pb = p[a], p[b]
+        return p.at[a].set(pb).at[b].set(pa)
+
+    def perturb(p, is_elite, key):
+        """Random subset re-shuffle: k ~ U[1, n/20] near elites else
+        U[1, n/2] positions get cyclically rotated (a permutation-preserving
+        analog of the reference domains' ChangeSubset perturbations)."""
+        k_strat, k_n, k_u, k_roll = jax.random.split(key, 4)
+        do_change = jax.random.uniform(k_strat) < (100.0 / 110.0)
+        hi = jnp.where(is_elite, max(1, n // 20), max(1, n // 2))
+        n_alter = jax.random.randint(k_n, (), 1, hi + 1)
+        u = jax.random.uniform(k_u, (n,))
+        kth = jax.lax.dynamic_index_in_dim(
+            jnp.sort(u), n_alter - 1, keepdims=False
+        )
+        sel = u <= kth  # k chosen positions
+        # Cyclic rotation of the chosen positions' values: rank-order the
+        # selected slots and give each the value of the previous one.
+        order = jnp.argsort(jnp.where(sel, u, jnp.inf))  # selected first
+        idx_sel = order  # first n_alter entries are the chosen slots
+        vals = p[idx_sel]
+        rotated = jnp.where(
+            jnp.arange(n) < n_alter, jnp.roll(vals, 1), vals
+        )
+        # Fix the wrap: position 0 takes the value of slot n_alter-1.
+        first_val = jax.lax.dynamic_index_in_dim(
+            vals, jnp.maximum(n_alter - 1, 0), keepdims=False
+        )
+        rotated = rotated.at[0].set(
+            jnp.where(n_alter > 0, first_val, rotated[0])
+        )
+        p_new = p.at[idx_sel].set(rotated)
+        return jnp.where(do_change, p_new, p)
+
+    return Problem(
+        name=f"qap-{n}",
+        init=init,
+        score=score,
+        is_best=is_best,
+        fingerprint=fingerprint,
+        neighborhood=neighborhood,
+        move_fp=move_fp,
+        apply_move=apply_move,
+        perturb=perturb,
+        width=n * n,
+    )
