@@ -23,3 +23,4 @@ __version__ = "0.1.0"
 
 from constraint_solver_tpu.core.problem import Problem, Neighborhood  # noqa: F401
 from constraint_solver_tpu.core.ils import Solver, SolverConfig  # noqa: F401
+from constraint_solver_tpu.parallel.population import PopulationSolver  # noqa: F401
