@@ -8,3 +8,7 @@ from constraint_solver_tpu.diagram.geometry import (  # noqa: F401
     interesting_vertical_segments,
     render_svg,
 )
+from constraint_solver_tpu.diagram.route import (  # noqa: F401
+    render_routed,
+    route_connectors,
+)

@@ -56,10 +56,14 @@ def test_two_process_global_mesh(tmp_path):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     addr = f"127.0.0.1:{port}"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {
         **os.environ,
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "JAX_PLATFORMS": "cpu",
+        # The worker script lives in tmp_path; make the package importable
+        # regardless of the invoking process's cwd / install state.
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
     }
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
