@@ -12,3 +12,7 @@ from constraint_solver_tpu.diagram.route import (  # noqa: F401
     render_routed,
     route_connectors,
 )
+from constraint_solver_tpu.diagram.png import (  # noqa: F401
+    render_png,
+    render_routed_png,
+)
