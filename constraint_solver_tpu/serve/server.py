@@ -14,9 +14,12 @@ shape the worker posts back: ``{isFinished, iterationInfo, result}``.
 
 API (mirroring the wasm exports):
 - ``POST /api/solvers``                 -> create_solver    (lib.rs:19-53)
+  (``payload["problem"]`` picks the domain: scheduling [default, the wasm
+  payload shape], nqueens, or diagram — one service fronts every domain)
 - ``POST /api/solvers/<id>/round``      -> execute_solver_round + info + best
 - ``GET  /api/solvers/<id>/best``       -> get_best_solution (lib.rs:72-84)
 - ``GET  /api/solvers/<id>/info``       -> get_iteration_info
+- ``GET  /api/solvers/<id>/svg``        -> routed layout SVG (diagram only)
 - ``DELETE /api/solvers/<id>``          -> cancel + free
 - ``GET  /``                            -> single-file web UI
 """
@@ -52,6 +55,27 @@ class SolverService:
         self._lock = threading.Lock()
 
     def create(self, payload: dict) -> str:
+        """Create a solver context.  ``payload["problem"]`` selects the
+        domain — "scheduling" (default, the reference wasm payload shape),
+        "nqueens", or "diagram" (TPU-native extras: one service fronts every
+        domain, not just the one the reference compiled to wasm)."""
+        kind = payload.get("problem", "scheduling")
+        makers = {
+            "scheduling": self._create_scheduling,
+            "nqueens": self._create_nqueens,
+            "diagram": self._create_diagram,
+        }
+        if kind not in makers:
+            raise ValueError(f"unknown problem {kind!r}")
+        ctx = makers[kind](payload)
+        ctx["kind"] = kind
+        ctx["lock"] = threading.Lock()
+        sid = uuid.uuid4().hex[:12]
+        with self._lock:
+            self._solvers[sid] = ctx
+        return sid
+
+    def _create_scheduling(self, payload: dict) -> dict:
         from constraint_solver_tpu.core.ils import Solver, SolverConfig
         from constraint_solver_tpu.models.scheduling import (
             ScheduleSpec,
@@ -83,15 +107,63 @@ class SolverService:
         problem = make_scheduling_problem(spec, window_size=params["window_size"])
         config_kwargs = {k: v for k, v in params.items() if k != "window_size"}
         solver = Solver(problem, SolverConfig(**config_kwargs))
-        sid = uuid.uuid4().hex[:12]
-        with self._lock:
-            self._solvers[sid] = {
-                "solver": solver,
-                "start": start,
-                "employees": employees,
-                "lock": threading.Lock(),
-            }
-        return sid
+        return {"solver": solver, "start": start, "employees": employees}
+
+    def _create_nqueens(self, payload: dict) -> dict:
+        from constraint_solver_tpu.core.ils import Solver, SolverConfig
+        from constraint_solver_tpu.models.nqueens import make_nqueens_problem
+
+        n = int(payload.get("boardSize", 8))
+        if not 1 <= n <= 10_000:
+            raise ValueError("boardSize out of range")
+        # Reference nqueens CLI hyperparameters (nqueens main.rs:129-135).
+        config = SolverConfig(
+            seed=str(payload.get("seed", "42")),
+            local_search_max_iterations=10_000,
+            best_solutions_capacity=32,
+            all_solutions_capacity=512,
+            all_solution_iteration_expiry=10_000,
+            iterated_local_search_max_iterations=int(
+                payload.get("iterated_local_search_max_iterations", 10_000)
+            ),
+            max_allow_no_improvement_for=5,
+        )
+        return {"solver": Solver(make_nqueens_problem(n), config)}
+
+    def _create_diagram(self, payload: dict) -> dict:
+        from constraint_solver_tpu.core.ils import Solver, SolverConfig
+        from constraint_solver_tpu.models.diagram_layout import (
+            DiagramLayoutSpec,
+            make_diagram_layout_problem,
+        )
+
+        n_boxes = int(payload.get("boxes", 9))
+        grid = int(payload.get("grid", 12))
+        if not 1 <= n_boxes <= 512 or not 1 <= grid <= 128:
+            raise ValueError("boxes/grid out of range")
+        if payload.get("chain"):
+            spec = DiagramLayoutSpec.chain(n_boxes, grid)
+        else:
+            spec = DiagramLayoutSpec.random(
+                n_boxes,
+                int(payload.get("edges", max(1, n_boxes - 1))),
+                grid,
+                seed=int(payload.get("instanceSeed", 0)),
+                max_size=int(payload.get("maxSize", 3)),
+            )
+        config = SolverConfig(
+            seed=str(payload.get("seed", "42")),
+            local_search_max_iterations=200,
+            best_solutions_capacity=32,
+            all_solutions_capacity=512,
+            all_solution_iteration_expiry=10_000,
+            iterated_local_search_max_iterations=int(
+                payload.get("iterated_local_search_max_iterations", 200)
+            ),
+            max_allow_no_improvement_for=5,
+        )
+        problem = make_diagram_layout_problem(spec)
+        return {"solver": Solver(problem, config), "spec": spec}
 
     def _ctx(self, sid: str) -> dict:
         with self._lock:
@@ -126,8 +198,28 @@ class SolverService:
         if ctx:
             ctx["solver"].cancel()
 
+    def svg(self, sid: str) -> str:
+        """Routed SVG of the best diagram layout (diagram solvers only)."""
+        ctx = self._ctx(sid)
+        if ctx.get("kind") != "diagram":
+            raise ValueError("svg is only available for diagram solvers")
+        with ctx["lock"]:
+            import math
+
+            from constraint_solver_tpu.diagram.route import render_routed
+            from constraint_solver_tpu.models.diagram_layout import (
+                layout_to_boxes,
+            )
+
+            (hard, _), pos = ctx["solver"].get_best_solution()
+            if not math.isfinite(hard):
+                raise ValueError("no solution yet: run at least one round")
+            spec = ctx["spec"]
+            return render_routed(layout_to_boxes(spec, pos), list(spec.edges))
+
     def _best_payload(self, ctx: dict) -> dict:
-        """The wasm get_best_solution shape: score + '%a %Y-%m-%d' day keys
+        """Per-domain best-solution payload.  Scheduling keeps the wasm
+        get_best_solution shape: score + '%a %Y-%m-%d' day keys
         (wasm lib.rs:71-84)."""
         import math
 
@@ -136,8 +228,19 @@ class SolverService:
             # No round has run yet: the elite archive is empty (the
             # reference would panic on get_best_solution here).  Report a
             # null score and no assignment instead of invalid-JSON Infinity.
-            return {"score": {"hard_score": None, "soft_score": None},
-                    "days_to_employees": []}
+            empty = {"score": {"hard_score": None, "soft_score": None}}
+            if ctx.get("kind") == "scheduling":
+                empty["days_to_employees"] = []
+            return empty
+        score = {"hard_score": hard, "soft_score": soft}
+        if ctx.get("kind") == "nqueens":
+            import numpy as np
+
+            return {"score": score, "rows": np.asarray(assign.rows).tolist()}
+        if ctx.get("kind") == "diagram":
+            import numpy as np
+
+            return {"score": score, "positions": np.asarray(assign).tolist()}
         start = ctx["start"]
         employees = ctx["employees"]
         days = []
@@ -186,6 +289,10 @@ class _Handler(BaseHTTPRequestHandler):
                         return self._send(200, self.service.best(sid))
                     if method == "GET" and parts[3:] == ["info"]:
                         return self._send(200, self.service.info(sid))
+                    if method == "GET" and parts[3:] == ["svg"]:
+                        return self._send(
+                            200, self.service.svg(sid), "image/svg+xml"
+                        )
                     if method == "DELETE" and len(parts) == 3:
                         self.service.delete(sid)
                         return self._send(200, {"ok": True})

@@ -49,6 +49,37 @@ def test_population_sharded_over_mesh():
     assert hard <= 4  # made real progress; usually 0
 
 
+def test_population_4096_trajectories_sharded():
+    """BASELINE config[3]: a 4096-trajectory restart portfolio with global
+    best reduction, sharded over the (virtual) 8-device mesh.  Tiny budgets
+    keep it fast — the point is that the 4096-lane program compiles, shards,
+    and reduces correctly."""
+    mesh = make_mesh(n_pop=8, n_nbr=1)
+    config = SolverConfig(
+        seed="42",
+        local_search_max_iterations=10,
+        best_solutions_capacity=4,
+        all_solutions_capacity=16,
+        all_solution_iteration_expiry=16,
+        iterated_local_search_max_iterations=2,
+        max_allow_no_improvement_for=2,
+    )
+    solver = PopulationSolver(
+        make_nqueens_problem(8), config, population=4096, mesh=mesh,
+        portfolio="mixed",
+    )
+    shard_devs = {
+        d.id for d in solver.state.current_state.rows.sharding.device_set
+    }
+    assert len(shard_devs) == 8
+    solver.run(max_rounds=2, chunk=2)
+    (hard, _), best_state = solver.get_best_solution()
+    # 4096 random-restart lanes on 8-queens: the global best is essentially
+    # always a solution after one descent; assert a strong bound regardless.
+    assert hard <= 2
+    assert sorted(best_state.rows.tolist()) == list(range(8))
+
+
 def test_exchange_elites_broadcasts_global_best():
     problem = make_nqueens_problem(8)
     config = _config()

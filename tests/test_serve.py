@@ -114,3 +114,55 @@ def test_missing_fields_return_400(server_url):
     status, err = _req(server_url + "/api/solvers", "POST", {"employees": []})
     assert status == 400
     assert "startDate" in err["error"]
+
+
+def test_nqueens_solver_endpoint(server_url):
+    status, res = _req(server_url + "/api/solvers", "POST", {
+        "problem": "nqueens", "boardSize": 8, "seed": "42",
+        "iterated_local_search_max_iterations": 30,
+    })
+    assert status == 200
+    sid = res["solverId"]
+    for _ in range(30):
+        status, r = _req(f"{server_url}/api/solvers/{sid}/round", "POST")
+        assert status == 200
+        if r["isFinished"]:
+            break
+    rows = r["result"]["rows"]
+    assert sorted(rows) == list(range(8))  # a permutation
+    assert r["result"]["score"]["hard_score"] == 0.0  # 8-queens solves fast
+    # svg endpoint is diagram-only
+    req = urllib.request.Request(f"{server_url}/api/solvers/{sid}/svg")
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    _req(f"{server_url}/api/solvers/{sid}", "DELETE")
+
+
+def test_diagram_solver_endpoint_with_svg(server_url):
+    status, res = _req(server_url + "/api/solvers", "POST", {
+        "problem": "diagram", "boxes": 5, "edges": 4, "grid": 8,
+        "iterated_local_search_max_iterations": 15,
+    })
+    assert status == 200
+    sid = res["solverId"]
+    for _ in range(15):
+        status, r = _req(f"{server_url}/api/solvers/{sid}/round", "POST")
+        assert status == 200
+        if r["isFinished"]:
+            break
+    pos = r["result"]["positions"]
+    assert len(pos) == 5 and all(len(p) == 2 for p in pos)
+    with urllib.request.urlopen(f"{server_url}/api/solvers/{sid}/svg") as resp:
+        assert resp.headers["Content-Type"] == "image/svg+xml"
+        svg = resp.read().decode()
+    assert svg.startswith("<svg")
+    _req(f"{server_url}/api/solvers/{sid}", "DELETE")
+
+
+def test_unknown_problem_rejected(server_url):
+    status, err = _req(server_url + "/api/solvers", "POST",
+                       {"problem": "sudoku"})
+    assert status == 400 and "sudoku" in err["error"]
