@@ -81,6 +81,15 @@ class Canvas:
             self.buf[py1 : py2 + 1, px1] = border
             self.buf[py1 : py2 + 1, px2] = border
 
+    def _fill_clipped(self, px1, py1, px2, py2, color):
+        """Fill an inclusive pixel box, clipped; empty after clipping is a
+        no-op (a negative slice stop would wrap around in numpy)."""
+        x0, x1 = max(px1, 0), min(px2, self.w - 1)
+        y0, y1 = max(py1, 0), min(py2, self.h - 1)
+        if x1 < x0 or y1 < y0:
+            return
+        self.buf[y0 : y1 + 1, x0 : x1 + 1] = color
+
     def line(self, x1, y1, x2, y2, color, width: int = 1):
         """Axis-aligned (H or V) line; diagonals draw as an elbow."""
         if x1 != x2 and y1 != y2:
@@ -91,17 +100,11 @@ class Canvas:
         r = width // 2
         px1, px2 = sorted((px1, px2))
         py1, py2 = sorted((py1, py2))
-        self.buf[
-            max(py1 - r, 0) : min(py2 + r, self.h - 1) + 1,
-            max(px1 - r, 0) : min(px2 + r, self.w - 1) + 1,
-        ] = color
+        self._fill_clipped(px1 - r, py1 - r, px2 + r, py2 + r, color)
 
     def dot(self, x, y, color, r: int = 2):
         px, py = self._px(x, y)
-        self.buf[
-            max(py - r, 0) : min(py + r, self.h - 1) + 1,
-            max(px - r, 0) : min(px + r, self.w - 1) + 1,
-        ] = color
+        self._fill_clipped(px - r, py - r, px + r, py + r, color)
 
 
 def _canvas_for(boxes, extra_points=(), pad: float = 30.0, scale: float = 1.0):
@@ -145,17 +148,19 @@ def render_png(diagram, path: str, scale: float = 1.0) -> tuple:
 
 def render_routed_png(boxes, edges, path: str, scale: float = 1.0) -> tuple:
     """Rasterize a solved layout with routed connectors to PNG."""
-    from constraint_solver_tpu.diagram.route import route_connectors
+    from constraint_solver_tpu.diagram.route import (
+        fallback_elbow,
+        route_connectors,
+    )
 
     routes = route_connectors(boxes, edges)
-    cv = _canvas_for(boxes, scale=scale)
+    # Routes can step slightly outside the box bounding rect (padded-edge
+    # vertices); include them in the canvas extent.
+    pts = [p for r in routes if r for p in r]
+    cv = _canvas_for(boxes, pts, scale=scale)
     for route, (i, j) in zip(routes, edges):
         if route is None:
-            x1, y1, x2, y2 = boxes[i].rect
-            a = ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
-            x1, y1, x2, y2 = boxes[j].rect
-            b = ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
-            route = [a, (b[0], a[1]), b]
+            route = fallback_elbow(boxes, i, j)
         for a, b in zip(route, route[1:]):
             cv.line(a[0], a[1], b[0], b[1], ROUTE, width=2)
     for box in boxes:

@@ -94,29 +94,79 @@ def shortest_route(adj, src, dst, bend_penalty: float = BEND_PENALTY):
     return None
 
 
+def _components(adj):
+    """Connected components of the visibility graph (list of vertex lists)."""
+    seen = set()
+    comps = []
+    for start in adj:
+        if start in seen:
+            continue
+        comp = []
+        stack = [start]
+        seen.add(start)
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for (w, _) in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        comps.append(comp)
+    return comps
+
+
+def fallback_elbow(boxes, i, j):
+    """Center-to-center L-shaped elbow for connectors the graph can't carry
+    (shared by the SVG and PNG renderers so the two outputs never diverge)."""
+    x1, y1, x2, y2 = boxes[i].rect
+    a = ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
+    x1, y1, x2, y2 = boxes[j].rect
+    b = ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
+    return [a, (b[0], a[1]), b]
+
+
 def route_connectors(boxes, edges, bend_penalty: float = BEND_PENALTY):
     """Route each (i, j) connector between boxes on the visibility graph.
 
     ``boxes`` is a GeomBox list, ``edges`` index pairs into it.  Returns a
-    list of vertex paths (None where the graph is disconnected).
+    list of vertex paths (None where the graph has no usable component).
+
+    The visibility graph inherited from the reference's edge semantics is
+    fragmented — one large component plus isolated port-pair fragments — so
+    endpoints are chosen per connector as the (src, dst) pair **within one
+    component** minimizing the summed distance to the two box centers;
+    Dijkstra then always succeeds within that component.
     """
     diagram = Diagram(boxes)
     graph = OrthogonalVisibilityGraph(diagram)
-    if not graph.vertices:
-        return [None for _ in edges]
     adj = _build_adjacency(graph)
-    # Only vertices with at least one incident edge are routable endpoints.
-    verts = list(adj.keys()) or list(graph.vertices)
+    if not adj:
+        return [None for _ in edges]
+    comps = _components(adj)
 
     def center(b):
         x1, y1, x2, y2 = b.rect
         return ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
 
+    def d2(v, p):
+        return (v[0] - p[0]) ** 2 + (v[1] - p[1]) ** 2
+
     routes = []
     for (i, j) in edges:
-        src = _nearest_vertex(verts, center(boxes[i]))
-        dst = _nearest_vertex(verts, center(boxes[j]))
-        routes.append(shortest_route(adj, src, dst, bend_penalty))
+        ci, cj = center(boxes[i]), center(boxes[j])
+        best = None  # (cost, src, dst)
+        for comp in comps:
+            if len(comp) < 2:
+                continue
+            src = min(comp, key=lambda v: d2(v, ci))
+            dst = min(comp, key=lambda v: d2(v, cj))
+            cost = d2(src, ci) ** 0.5 + d2(dst, cj) ** 0.5
+            if best is None or cost < best[0]:
+                best = (cost, src, dst)
+        if best is None:
+            routes.append(None)
+            continue
+        routes.append(shortest_route(adj, best[1], best[2], bend_penalty))
     return routes
 
 
@@ -140,13 +190,9 @@ def render_routed(boxes, edges, path: str | None = None) -> str:
     ]
     for route, (i, j) in zip(routes, edges):
         if route is None:
-            # Disconnected in the visibility graph: fall back to an L-shaped
-            # center-to-center elbow so the connector stays orthogonal.
-            x1, y1, x2, y2 = boxes[i].rect
-            a = ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
-            x1, y1, x2, y2 = boxes[j].rect
-            b = ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
-            route = [a, (b[0], a[1]), b]
+            # No usable component: fall back to an L-shaped center-to-center
+            # elbow so the connector stays orthogonal and visible.
+            route = fallback_elbow(boxes, i, j)
         pts = " ".join(f"{x},{y}" for x, y in route)
         parts.append(
             f'<polyline points="{pts}" fill="none" '

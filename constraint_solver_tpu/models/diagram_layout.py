@@ -220,10 +220,17 @@ def make_diagram_layout_problem(spec: DiagramLayoutSpec) -> Problem:
         cand = cur_score[None, None, None, :] + jnp.stack(
             [d_hard, d_soft], axis=-1
         )
-        # Mask placements that stick out of the grid.
+        # Mask placements that stick out of the grid, and the no-op
+        # "stay where you are" cell (same convention as qap.py's
+        # no-no-ops mask: a zero-delta no-op would win every plateau
+        # argmin and burn a tabu retry).
         vx = cells[None, :] <= max_pos_j[:, 0, None]  # [B, G]
         vy = cells[None, :] <= max_pos_j[:, 1, None]
         valid = vx[:, :, None] & vy[:, None, :]
+        noop = (cells[None, :, None] == pos[:, 0, None, None]) & (
+            cells[None, None, :] == pos[:, 1, None, None]
+        )
+        valid = valid & ~noop
         ib = jnp.arange(n_boxes, dtype=jnp.int32)
         b_idx = jnp.broadcast_to(
             ib[:, None, None], (n_boxes, grid, grid)

@@ -248,10 +248,7 @@ class SolverService:
             day = start + datetime.timedelta(days=i)
             label = f"{_WEEKDAYS[day.weekday()]} {day.isoformat()}"
             days.append([label, {"id": employees[emp_idx]}])
-        return {
-            "score": {"hard_score": hard, "soft_score": soft},
-            "days_to_employees": days,
-        }
+        return {"score": score, "days_to_employees": days}
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -70,17 +70,22 @@ def test_neighborhood_delta_equals_full_rescore(spec, problem):
         p2 = np.asarray(pos).copy()
         p2[b_idx[i]] = (x_idx[i], y_idx[i])
         assert np.allclose(scores[i], layout_score_naive(spec, p2), atol=1e-3)
-    # Every invalid candidate is a genuinely out-of-grid placement.
+    # Every invalid candidate is out-of-grid or the no-op cell.
     mp = spec.grid - sizes
+    pos_np = np.asarray(pos)
     bad = ~valid
+    is_noop = (x_idx == pos_np[b_idx, 0]) & (y_idx == pos_np[b_idx, 1])
     assert np.all(
-        (x_idx[bad] > mp[b_idx[bad], 0]) | (y_idx[bad] > mp[b_idx[bad], 1])
+        (x_idx[bad] > mp[b_idx[bad], 0])
+        | (y_idx[bad] > mp[b_idx[bad], 1])
+        | is_noop[bad]
     )
-    # And every in-grid placement is valid.
+    # Every in-grid non-no-op placement is valid; no-ops never are.
     good = valid
     assert np.all(
         (x_idx[good] <= mp[b_idx[good], 0]) & (y_idx[good] <= mp[b_idx[good], 1])
     )
+    assert not np.any(is_noop[good])
 
 
 def test_move_fp_matches_full_fingerprint(problem):
@@ -150,9 +155,10 @@ def test_routing_end_to_end():
     boxes = layout_to_boxes(spec, pos)
     routes = route_connectors(boxes, list(spec.edges))
     assert len(routes) == 3
+    # The router must actually route on this layout — no silent fallbacks.
+    assert all(r is not None for r in routes)
     for r in routes:
-        if r is None:
-            continue
+        assert len(r) >= 2
         # Routed paths are orthogonal polylines over graph vertices.
         for a, b in zip(r, r[1:]):
             assert a[0] == b[0] or a[1] == b[1]

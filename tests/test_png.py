@@ -61,6 +61,21 @@ def test_canvas_primitives():
     assert tuple(cv2.buf[3, 3]) == (255, 255, 255)  # not on the diagonal
 
 
+def test_offcanvas_primitives_draw_nothing():
+    # A primitive fully above/left of the canvas must be clipped away, not
+    # wrap around via a negative slice stop.
+    cv = Canvas(0, 0, 10, 10)
+    cv.line(2, -3, 8, -3, (1, 1, 1))
+    cv.line(-4, 2, -4, 9, (1, 1, 1), width=3)
+    cv.dot(-5, -5, (1, 1, 1), r=2)
+    cv.fill_rect(-9, -9, -2, -2, (1, 1, 1))
+    assert np.all(cv.buf == 255)
+    # Partially visible primitives clip to the visible part.
+    cv.line(-5, 4, 3, 4, (2, 2, 2))
+    assert tuple(cv.buf[4, 0]) == (2, 2, 2) and tuple(cv.buf[4, 3]) == (2, 2, 2)
+    assert np.all(cv.buf[4, 4:] == 255)
+
+
 def test_render_demo_png(tmp_path):
     boxes = [
         GeomBox(
