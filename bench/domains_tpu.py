@@ -1,0 +1,68 @@
+"""Secondary-domain TPU measurements (diagram layout, QAP) for BENCH_NOTES.
+
+Not the driver's headline harness (that's repo-root bench.py); this script
+records moves/s + quality for the MXU-heavy domains on one chip.  Keeps
+dispatches small (chunk=2 rounds) per docs/DESIGN.md axon rules.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from constraint_solver_tpu.core.ils import SolverConfig
+from constraint_solver_tpu.parallel.population import PopulationSolver
+
+
+def run(problem, config, pop, rounds, label):
+    solver = PopulationSolver(problem, config, population=pop)
+    t0 = time.time()
+    solver.run(max_rounds=2, chunk=2)  # compile warm-up
+    print(f"{label}: warm-up {time.time() - t0:.1f}s", flush=True)
+    solver = PopulationSolver(problem, config, population=pop)
+    t0 = time.time()
+    solver.run(max_rounds=rounds, chunk=2)
+    wall = time.time() - t0
+    (hard, soft), _ = solver.get_best_solution()
+    stats = solver.stats()
+    moves = stats["ls_iterations"] * problem.width
+    print(
+        f"{label}: P={pop} rounds={rounds} wall={wall:.2f}s "
+        f"best=({hard}, {soft}) ls_iters={stats['ls_iterations']} "
+        f"moves/s={moves / wall:.3g}",
+        flush=True,
+    )
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+
+    from constraint_solver_tpu.models.diagram_layout import (
+        DiagramLayoutSpec,
+        make_diagram_layout_problem,
+    )
+
+    spec = DiagramLayoutSpec.random(64, 96, 32, seed=0, max_size=4)
+    problem = make_diagram_layout_problem(spec)
+    config = SolverConfig(
+        seed="bench",
+        local_search_max_iterations=50,
+        best_solutions_capacity=8,
+        all_solutions_capacity=128,
+        all_solution_iteration_expiry=1_000,
+        iterated_local_search_max_iterations=100_000,
+        max_allow_no_improvement_for=5,
+    )
+    run(problem, config, pop=64, rounds=6, label="diagram-64b-32g")
+
+    from constraint_solver_tpu.models.qap import QAPSpec, make_qap_problem
+
+    qap = make_qap_problem(QAPSpec.random(256, seed=0))
+    run(qap, config, pop=64, rounds=6, label="qap-256")
+
+
+if __name__ == "__main__":
+    main()

@@ -134,6 +134,27 @@ class EliteArchive(NamedTuple):
             jax.tree.map(lambda a: a[idx], self.states),
         )
 
+    def get_best_multiple(self, k: int):
+        """Best ``min(k, #valid)`` entries, ascending (ref
+        History::get_best_multiple, local_search.rs:230-236).  Returns
+        (scores [k, 2], fps [k, 2], states [k, ...], valid [k]) — fixed
+        shape, with ``valid`` marking real entries (the reference returns a
+        shorter Vec when the archive holds fewer than k)."""
+        n = self.valid.shape[0]
+        masked = jnp.where(self.valid[:, None], self.scores, jnp.inf)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        hard, soft, perm = jax.lax.sort(
+            [masked[:, 0], masked[:, 1], iota],
+            num_keys=2, dimension=0, is_stable=True,
+        )
+        idx = perm[:k]
+        return (
+            jnp.stack([hard[:k], soft[:k]], axis=-1),
+            jnp.take(self.fps, idx, axis=0),
+            jax.tree.map(lambda a: jnp.take(a, idx, axis=0), self.states),
+            jnp.take(self.valid, idx, axis=0),
+        )
+
     def get_random(self, key: jax.Array):
         """Uniform random valid entry (ref History::get_random_best_solution,
         local_search.rs:220-228).  Caller guarantees >= 1 valid entry."""

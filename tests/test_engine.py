@@ -61,6 +61,29 @@ def test_elite_archive_insert_best_worst():
     np.testing.assert_array_equal(np.asarray(arch2.scores), np.asarray(arch.scores))
 
 
+def test_elite_archive_get_best_multiple():
+    """Top-k retrieval, ascending, short-archive marked via valid
+    (ref History::get_best_multiple, local_search.rs:230-236)."""
+    state = jnp.zeros((3,), jnp.int32)
+    arch = EliteArchive.create(4, state)
+    mk = lambda h, v: (
+        make_score(float(h)),
+        jnp.asarray([h, h], jnp.uint32),
+        jnp.full((3,), v, jnp.int32),
+    )
+    arch = arch.insert(*mk(5, 1))
+    arch = arch.insert(*mk(3, 2))
+    scores, fps, states, valid = arch.get_best_multiple(3)
+    assert np.asarray(valid).tolist() == [True, True, False]
+    assert np.asarray(scores)[:2, 0].tolist() == [3.0, 5.0]
+    assert np.asarray(states)[:2, 0].tolist() == [2, 1]
+    assert np.asarray(fps)[0].tolist() == [3, 3]
+    arch = arch.insert(*mk(4, 3))
+    scores, _, states, valid = arch.get_best_multiple(2)
+    assert np.asarray(scores)[:, 0].tolist() == [3.0, 4.0]
+    assert np.asarray(valid).all()
+
+
 def _run_ls(problem, start, seed=0, allow=1, max_iter=100_000):
     tabu = TabuRing.create(256, expiry=10_000)
     params = LsParams(max_iterations=max_iter, allow_no_improvement_for=allow)
