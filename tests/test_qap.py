@@ -94,3 +94,12 @@ def test_ils_finds_brute_force_optimum_n7():
     (cost, _), p = solver.get_best_solution()
     assert cost == best, f"ILS found {cost}, brute force optimum {best}"
     assert sorted(p.tolist()) == list(range(7))
+
+
+def test_cli_smoke(capsys):
+    from constraint_solver_tpu.cli import qap as cli
+
+    rc = cli.main(["--platform", "cpu", "--size", "12", "--rounds", "10",
+                   "--quiet"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "result.cost" in out
