@@ -26,7 +26,8 @@ wasm round-based contract: step / is_finished / best / progress / cancel
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
+from types import SimpleNamespace
 from typing import Any, NamedTuple
 
 import jax
@@ -205,6 +206,24 @@ def ils_round(
     return _select(done, st._replace(round=rnd, key=key), out)
 
 
+@lru_cache(maxsize=64)
+def _solver_programs(problem: Problem, ls_params: LsParams, ils_params: IlsParams):
+    """Jitted single-trajectory programs, shared across Solver instances —
+    re-creating a solver with the same problem/params must not re-trace or
+    re-compile (compilation dominated measured solve walls otherwise)."""
+    round_fn = partial(ils_round, problem, ls_params, ils_params)
+
+    def run_chunk(st: IlsState, n: int) -> IlsState:
+        return jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
+
+    return SimpleNamespace(
+        round=jax.jit(round_fn),
+        chunk=jax.jit(run_chunk, static_argnums=1),
+        # Cheap convergence probe: transfers 8 bytes, not the elite arrays.
+        best_score=jax.jit(lambda st: st.elite.get_best()[0]),
+    )
+
+
 class Solver:
     """Round-based host driver.
 
@@ -226,17 +245,10 @@ class Solver:
         self._wall = 0.0
         key = seed_string_to_key(config.seed)
         self.state = ils_init(problem, config, key)
-        round_fn = partial(
-            ils_round, problem, config.ls_params(), config.ils_params()
-        )
-        self._round_jit = jax.jit(round_fn)
-
-        def run_chunk(st: IlsState, n: int) -> IlsState:
-            return jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
-
-        self._chunk_jit = jax.jit(run_chunk, static_argnums=1)
-        # Cheap convergence probe: transfers 8 bytes, not the elite arrays.
-        self._best_score_jit = jax.jit(lambda st: st.elite.get_best()[0])
+        progs = _solver_programs(problem, config.ls_params(), config.ils_params())
+        self._round_jit = progs.round
+        self._chunk_jit = progs.chunk
+        self._best_score_jit = progs.best_score
 
     # -- wasm-bridge-shaped API ------------------------------------------
 

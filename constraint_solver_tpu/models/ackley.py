@@ -25,6 +25,8 @@ Domain semantics preserved from the reference:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import math
 
 import jax
@@ -57,6 +59,7 @@ def ackley(x: jax.Array, a: float = _A, b: float = _B, c: float = _C) -> jax.Arr
     return -a * jnp.exp(-b * jnp.sqrt(sq)) - jnp.exp(cs) + a + math.e
 
 
+@lru_cache(maxsize=32)
 def make_ackley_problem(
     dimensions: int,
     min_move_size: float = 1e-3,

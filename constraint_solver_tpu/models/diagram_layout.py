@@ -38,6 +38,8 @@ Property-tested against a naive host oracle (tests/test_diagram_layout.py).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from typing import NamedTuple
 
 import jax
@@ -125,6 +127,7 @@ def layout_score_naive(spec: DiagramLayoutSpec, pos: np.ndarray):
     return float(hard), float(soft) / 2.0
 
 
+@lru_cache(maxsize=32)
 def make_diagram_layout_problem(spec: DiagramLayoutSpec) -> Problem:
     sizes_np, edges_np = spec.arrays()
     n_boxes = sizes_np.shape[0]

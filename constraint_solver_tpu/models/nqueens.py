@@ -48,6 +48,8 @@ rebuilds.  Counters are rebuilt from scratch only on init/perturb/restart
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from typing import NamedTuple
 
 import jax
@@ -131,6 +133,7 @@ def build_state(rows: jax.Array) -> NQState:
     return NQState(rows=rows, rc=rc, dc=dc, ac=ac, cs=cs)
 
 
+@lru_cache(maxsize=32)
 def make_nqueens_problem(
     board_size: int,
     sample_cols: int | None = None,

@@ -33,6 +33,8 @@ Property-tested against naive full rescores (tests/test_qap.py).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from typing import NamedTuple
 
 import jax
@@ -77,6 +79,7 @@ def qap_cost_naive(flow: np.ndarray, dist: np.ndarray, p: np.ndarray) -> float:
     return float(np.sum(flow * dist[np.ix_(p, p)]))
 
 
+@lru_cache(maxsize=32)
 def make_qap_problem(spec: QAPSpec) -> Problem:
     flow_np, dist_np = spec.arrays()
     n = flow_np.shape[0]

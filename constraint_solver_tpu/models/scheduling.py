@@ -36,6 +36,8 @@ never scored and only perturbs tabu identity; we use exactly D days.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import dataclasses
 import datetime
 
@@ -92,6 +94,7 @@ class ScheduleSpec:
         return self.weekdays() >= 5  # Sat=5, Sun=6
 
 
+@lru_cache(maxsize=32)
 def make_scheduling_problem(
     spec: ScheduleSpec, window_size: int = 100, proposer: str = "random"
 ) -> Problem:

@@ -19,7 +19,8 @@ the mesh's ``pop`` axis with ``NamedSharding``; XLA inserts the collectives.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -125,6 +126,65 @@ def exchange_elites(
     return states
 
 
+@lru_cache(maxsize=64)
+def _population_programs(
+    problem: Problem, ls_params, ils_params, k_exchange: int,
+    cull_frac: float, mesh,
+):
+    """Jitted population programs, shared across solver instances.
+
+    Keyed by the (hashable) problem bundle + engine params + mesh: creating
+    a second solver with the same ingredients must NOT re-trace/re-compile —
+    before this cache, a fresh ``PopulationSolver`` paid the full compile on
+    its first timed chunk (~9 s for nqueens-1000 P=256 on the tunneled chip,
+    dwarfing the ~3 s actual solve; see BENCH_NOTES.md)."""
+    round_fn = jax.vmap(partial(ils_round, problem, ls_params, ils_params))
+
+    def run_chunk(st: IlsState, n: int) -> IlsState:
+        st = jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
+        return exchange_elites(st, k_exchange, cull_frac)
+
+    # Host-read paths produce small REPLICATED outputs so they stay
+    # addressable on every process under a multi-host global mesh.
+    rep = replicated(mesh) if mesh is not None else None
+
+    def jit_rep(f):
+        return jax.jit(f, out_shardings=rep) if rep is not None else jax.jit(f)
+
+    def best_score(st: IlsState):
+        scores, _, _ = jax.vmap(lambda e: e.get_best())(st.elite)
+        return scores[lex_argmin(scores)]
+
+    def global_best(st: IlsState):
+        scores, _, bests = jax.vmap(lambda e: e.get_best())(st.elite)
+        lane = lex_argmin(scores)
+        return scores[lane], jax.tree.map(lambda a: a[lane], bests)
+
+    return SimpleNamespace(
+        round=jax.jit(round_fn),
+        chunk=jax.jit(run_chunk, static_argnums=1),
+        best_score=jit_rep(best_score),
+        global_best=jit_rep(global_best),
+        # Cheap convergence probe: transfers 8 bytes, not the elite arrays.
+        probe=jit_rep(lambda st: (st.round[0], jnp.sum(st.ls_iters_total))),
+    )
+
+
+@lru_cache(maxsize=64)
+def _population_init_program(
+    problem: Problem, config: SolverConfig, population: int, mesh
+):
+    def init(key, temps):
+        return population_init(problem, config, population, key, temps)
+
+    if mesh is None:
+        return jax.jit(init)
+    # Multi-host safe: build the global sharded state INSIDE jit
+    # (device_put of process-local arrays onto a global sharding is
+    # not allowed; jit with out_shardings is).
+    return jax.jit(init, out_shardings=pop_sharding(mesh))
+
+
 class PopulationSolver:
     """Same driver API as ``core.ils.Solver`` over P parallel trajectories."""
 
@@ -153,51 +213,18 @@ class PopulationSolver:
 
         key = seed_string_to_key(config.seed)
         temps = portfolio_temps(population, portfolio)
-        if mesh is None:
-            self.state = population_init(problem, config, population, key, temps)
-        else:
-            # Multi-host safe: build the global sharded state INSIDE jit
-            # (device_put of process-local arrays onto a global sharding is
-            # not allowed; jit with out_shardings is).
-            init_jit = jax.jit(
-                lambda k, t: population_init(problem, config, population, k, t),
-                out_shardings=pop_sharding(mesh),
-            )
-            self.state = init_jit(key, temps)
+        init_jit = _population_init_program(problem, config, population, mesh)
+        self.state = init_jit(key, temps)
 
-        round_fn = jax.vmap(
-            partial(ils_round, problem, config.ls_params(), config.ils_params())
+        progs = _population_programs(
+            problem, config.ls_params(), config.ils_params(),
+            k_exchange, cull_frac, mesh,
         )
-
-        def run_chunk(st: IlsState, n: int) -> IlsState:
-            st = jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
-            return exchange_elites(st, k_exchange, cull_frac)
-
-        self._round_jit = jax.jit(round_fn)
-        self._chunk_jit = jax.jit(run_chunk, static_argnums=1)
-
-        # Host-read paths produce small REPLICATED outputs so they stay
-        # addressable on every process under a multi-host global mesh.
-        rep = replicated(mesh) if mesh is not None else None
-
-        def jit_rep(f):
-            return jax.jit(f, out_shardings=rep) if rep is not None else jax.jit(f)
-
-        def best_score(st: IlsState):
-            scores, _, _ = jax.vmap(lambda e: e.get_best())(st.elite)
-            return scores[lex_argmin(scores)]
-
-        def global_best(st: IlsState):
-            scores, _, bests = jax.vmap(lambda e: e.get_best())(st.elite)
-            lane = lex_argmin(scores)
-            return scores[lane], jax.tree.map(lambda a: a[lane], bests)
-
-        # Cheap convergence probe: transfers 8 bytes, not the elite arrays.
-        self._best_score_jit = jit_rep(best_score)
-        self._global_best_jit = jit_rep(global_best)
-        self._probe_jit = jit_rep(
-            lambda st: (st.round[0], jnp.sum(st.ls_iters_total))
-        )
+        self._round_jit = progs.round
+        self._chunk_jit = progs.chunk
+        self._best_score_jit = progs.best_score
+        self._global_best_jit = progs.global_best
+        self._probe_jit = progs.probe
 
     # -- driver API (mirrors core.ils.Solver) ----------------------------
 
