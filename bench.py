@@ -27,6 +27,11 @@ N = int(os.environ.get("BENCH_N", 1000))
 # relay's per-dispatch execution window).
 POP = int(os.environ.get("BENCH_POP", 256))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 2))
+# Inner-descent cap: vmapped lanes run lockstep until every lane bails, so a
+# large cap lets one straggler lane idle the rest (productive fraction ~26%
+# at 2000 vs ~90% at 250; BENCH_NOTES.md sweep). 250 minimizes measured
+# time-to-zero.
+LS_MAX = int(os.environ.get("BENCH_LS_MAX", 250))
 FALLBACK_BASELINE = 7370.0  # measured 2026-08-17 on this host (see bench/)
 
 
@@ -69,7 +74,7 @@ def main() -> None:
     moves_per_ls_iter = problem.width
     config = SolverConfig(
         seed="bench",
-        local_search_max_iterations=2_000,
+        local_search_max_iterations=LS_MAX,
         all_solutions_capacity=256,
         best_solutions_capacity=8,
         iterated_local_search_max_iterations=10_000,
