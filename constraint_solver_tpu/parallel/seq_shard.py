@@ -136,6 +136,10 @@ def make_sharded_schedule_score(spec: ScheduleSpec, mesh, axis: str = "seq"):
     wd_j = jnp.asarray(wd_onehot)
 
     def score(assign: jax.Array) -> jax.Array:
+        # NOTE: if a different mesh is ambient (e.g. a pop x nbr solver mesh
+        # from jax.set_mesh), call this under ``with jax.set_mesh(seq_mesh)``
+        # from OUTSIDE jit — shard_map requires its mesh to match the
+        # context mesh, and set_mesh cannot run under tracing.
         a_pad = jnp.full((d_pad,), -1, jnp.int32).at[:d_days].set(assign)
         return fn(a_pad, hol_j, wkd_j, wd_j)
 

@@ -36,3 +36,48 @@ def test_nqueens_repeatable_and_solved(seed):
         assert other == first, f"nondeterministic result with seed {seed}"
     assert first[0] == 0, f"8-queens unsolved with seed {seed}: {first}"
     assert sorted(first[2]) == list(range(8))
+
+
+def test_diagram_repeatable():
+    from constraint_solver_tpu.models.diagram_layout import (
+        DiagramLayoutSpec,
+        make_diagram_layout_problem,
+    )
+
+    spec = DiagramLayoutSpec.random(6, 6, 8, seed=1, max_size=2)
+    results = []
+    for _ in range(2):
+        solver = Solver(
+            make_diagram_layout_problem(spec),
+            SolverConfig(
+                seed="42",
+                local_search_max_iterations=100,
+                iterated_local_search_max_iterations=15,
+                max_allow_no_improvement_for=5,
+            ),
+        )
+        solver.run()
+        (hard, soft), pos = solver.get_best_solution()
+        results.append((hard, soft, tuple(map(tuple, np.asarray(pos).tolist()))))
+    assert results[0] == results[1]
+
+
+def test_qap_repeatable():
+    from constraint_solver_tpu.models.qap import QAPSpec, make_qap_problem
+
+    spec = QAPSpec.random(16, seed=0)
+    results = []
+    for _ in range(2):
+        solver = Solver(
+            make_qap_problem(spec),
+            SolverConfig(
+                seed="7",
+                local_search_max_iterations=100,
+                iterated_local_search_max_iterations=15,
+                max_allow_no_improvement_for=5,
+            ),
+        )
+        solver.run()
+        (hard, soft), perm = solver.get_best_solution()
+        results.append((hard, soft, tuple(np.asarray(perm).tolist())))
+    assert results[0] == results[1]
