@@ -28,7 +28,7 @@ def run(problem, config, pop, rounds, label):
     wall = time.time() - t0
     (hard, soft), _ = solver.get_best_solution()
     stats = solver.stats()
-    moves = stats["ls_iterations"] * problem.width
+    moves = stats["moves_evaluated"]
     print(
         f"{label}: P={pop} rounds={rounds} wall={wall:.2f}s "
         f"best=({hard}, {soft}) ls_iters={stats['ls_iterations']} "

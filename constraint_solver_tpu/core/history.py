@@ -139,8 +139,10 @@ class EliteArchive(NamedTuple):
         History::get_best_multiple, local_search.rs:230-236).  Returns
         (scores [k, 2], fps [k, 2], states [k, ...], valid [k]) — fixed
         shape, with ``valid`` marking real entries (the reference returns a
-        shorter Vec when the archive holds fewer than k)."""
+        shorter Vec when the archive holds fewer than k).  ``k`` is clamped
+        to the archive capacity."""
         n = self.valid.shape[0]
+        k = min(k, n)
         masked = jnp.where(self.valid[:, None], self.scores, jnp.inf)
         iota = jnp.arange(n, dtype=jnp.int32)
         hard, soft, perm = jax.lax.sort(

@@ -171,9 +171,17 @@ def _population_programs(
 
 
 @lru_cache(maxsize=64)
-def _population_init_program(
-    problem: Problem, config: SolverConfig, population: int, mesh
-):
+def _population_init_program(problem: Problem, caps: tuple, population: int, mesh):
+    """``caps`` is the init-relevant subset of SolverConfig — (elite capacity,
+    tabu capacity, tabu expiry).  Keying on the full config would miss the
+    cache for solvers differing only by seed or round budget (the seed is a
+    runtime key argument, not part of the traced program)."""
+    config = SolverConfig(
+        best_solutions_capacity=caps[0],
+        all_solutions_capacity=caps[1],
+        all_solution_iteration_expiry=caps[2],
+    )
+
     def init(key, temps):
         return population_init(problem, config, population, key, temps)
 
@@ -213,7 +221,16 @@ class PopulationSolver:
 
         key = seed_string_to_key(config.seed)
         temps = portfolio_temps(population, portfolio)
-        init_jit = _population_init_program(problem, config, population, mesh)
+        init_jit = _population_init_program(
+            problem,
+            (
+                config.best_solutions_capacity,
+                config.all_solutions_capacity,
+                config.all_solution_iteration_expiry,
+            ),
+            population,
+            mesh,
+        )
         self.state = init_jit(key, temps)
 
         progs = _population_programs(
