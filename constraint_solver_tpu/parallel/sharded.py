@@ -37,6 +37,29 @@ from constraint_solver_tpu.ops.lex import lex_argmin
 from constraint_solver_tpu.parallel.population import population_init
 from constraint_solver_tpu.utils.seeding import seed_string_to_key
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _sharded_chunk_program(problem: Problem, ls_params, ils_params, mesh):
+    """Jitted sharded-chunk program, shared across solver instances (same
+    no-recompile contract as parallel/population.py's program caches)."""
+    round_fn = jax.vmap(partial(ils_round, problem, ls_params, ils_params))
+
+    def shard_body(st: IlsState, n: int) -> IlsState:
+        return jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
+
+    def run_chunk(st: IlsState, n: int) -> IlsState:
+        return jax.shard_map(
+            partial(shard_body, n=n),
+            mesh=mesh,
+            in_specs=P("pop"),
+            out_specs=P("pop"),
+            check_vma=False,
+        )(st)
+
+    return jax.jit(run_chunk, static_argnums=1)
+
 
 class ShardedPopulationSolver:
     """PopulationSolver over a 2D mesh: lanes split over ``pop``, each
@@ -63,23 +86,9 @@ class ShardedPopulationSolver:
         key = seed_string_to_key(config.seed)
         self.state = population_init(problem, config, population, key)
 
-        round_fn = jax.vmap(
-            partial(ils_round, problem, config.ls_params(), config.ils_params())
+        self._chunk_jit = _sharded_chunk_program(
+            problem, config.ls_params(), config.ils_params(), mesh
         )
-
-        def shard_body(st: IlsState, n: int) -> IlsState:
-            return jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
-
-        def run_chunk(st: IlsState, n: int) -> IlsState:
-            return jax.shard_map(
-                partial(shard_body, n=n),
-                mesh=mesh,
-                in_specs=P("pop"),
-                out_specs=P("pop"),
-                check_vma=False,
-            )(st)
-
-        self._chunk_jit = jax.jit(run_chunk, static_argnums=1)
 
     def run(self, max_rounds: int, chunk: int = 2) -> None:
         done = 0
