@@ -22,6 +22,8 @@ def run(problem, config, pop, rounds, label):
     t0 = time.time()
     solver.run(max_rounds=2, chunk=2)  # compile warm-up
     print(f"{label}: warm-up {time.time() - t0:.1f}s", flush=True)
+    # Fresh instance reuses the compiled programs (program caches), so this
+    # wall is pure solve time.
     solver = PopulationSolver(problem, config, population=pop)
     t0 = time.time()
     solver.run(max_rounds=rounds, chunk=2)
@@ -62,6 +64,30 @@ def main():
 
     qap = make_qap_problem(QAPSpec.random(256, seed=0))
     run(qap, config, pop=64, rounds=6, label="qap-256")
+
+    # Reference CLI scheduling instance (7 employees, 31 days from
+    # 2022-05-09; ref employee-scheduling main.rs:8-63), wasm-bridge params.
+    import datetime
+
+    from constraint_solver_tpu.models.scheduling import (
+        ScheduleSpec,
+        make_scheduling_problem,
+    )
+
+    spec = ScheduleSpec.from_dates(
+        datetime.date(2022, 5, 9), datetime.date(2022, 6, 8), 7
+    )
+    sched = make_scheduling_problem(spec, window_size=100)
+    sched_config = SolverConfig(
+        seed="bench",
+        local_search_max_iterations=1_000,
+        best_solutions_capacity=64,
+        all_solutions_capacity=512,
+        all_solution_iteration_expiry=1_000,
+        iterated_local_search_max_iterations=250,
+        max_allow_no_improvement_for=20,
+    )
+    run(sched, sched_config, pop=64, rounds=250, label="scheduling-31d-7e")
 
 
 if __name__ == "__main__":
