@@ -26,6 +26,10 @@ def main(argv=None):
                         "pmc = synchronous parallel min-conflicts")
     parser.add_argument("--rounds", type=int, default=10_000,
                         help="max ILS rounds (ref: 10_000)")
+    parser.add_argument("--pmc-sample-cols", type=int, default=None,
+                        help="PMC huge-board mode: score [A, n] sampled "
+                        "columns per step instead of the full [n, n] block "
+                        "(required for n >= ~4096 on the tunneled chip)")
     parser.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
@@ -60,11 +64,18 @@ def main(argv=None):
             ParallelMinConflictsSolver,
         )
 
+        sample_cols = args.pmc_sample_cols
+        if sample_cols is None and n >= 4096:
+            # Default the huge-board mode on: a full [n, n] block per step
+            # is exactly the too-large single dispatch that kills the axon
+            # worker (docs/DESIGN.md).
+            sample_cols = 1024
         solver = ParallelMinConflictsSolver(
             n,
             seed=args.seed,
             use_pallas=(args.platform == "tpu"),
             population=args.population,
+            sample_cols=sample_cols,
         )
     elif args.population > 1:
         solver = PopulationSolver(problem, config, population=args.population)

@@ -54,13 +54,20 @@ class TabuRing(NamedTuple):
 
     def push(self, fp: jax.Array) -> "TabuRing":
         """Record a visited solution (ref History::seen_solution,
-        local_search.rs:155-162).  Re-inserting a present fingerprint
-        refreshes its slot rather than being skipped — a harmless divergence
-        from the reference's contains-check."""
+        local_search.rs:155-162).  Like the reference's contains-check, a
+        fingerprint already in the ring refreshes its iteration stamp in
+        place instead of consuming a new slot — a descent parked on a
+        plateau must not flood the ring with duplicates and evict genuinely
+        distinct tabu entries."""
         count = self.count + 1
-        fps = self.fps.at[self.head].set(fp)
-        iters = self.iters.at[self.head].set(count)
-        head = (self.head + 1) % self.fps.shape[0]
+        match = jnp.all(self.fps == fp[None, :], axis=-1)
+        present = jnp.any(match)
+        slot = jnp.where(present, jnp.argmax(match), self.head)
+        fps = self.fps.at[slot].set(fp)
+        iters = self.iters.at[slot].set(count)
+        head = jnp.where(
+            present, self.head, (self.head + 1) % self.fps.shape[0]
+        )
         return self._replace(fps=fps, iters=iters, head=head, count=count)
 
     def is_tabu(self, fps: jax.Array) -> jax.Array:

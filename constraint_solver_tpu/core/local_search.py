@@ -15,6 +15,12 @@ TPU-native re-design of the reference ``LocalSearch::execute`` loop
   bails after ``allow_no_improvement_for`` non-improving iterations
   (ref :329-334) or when no valid candidate exists (ref :336-338).
 
+Divergence (documented per docs/DESIGN.md): tabu is resolved pick-then-check
+with a bounded retry budget instead of the reference's filter-every-candidate
+(ref :319).  If the budget is exhausted while non-tabu candidates remain, the
+iteration counts as non-improving and the descent continues (ending via the
+no-improvement bail), rather than scanning past the retry horizon.
+
 The whole loop is a ``lax.while_loop`` — jittable, vmappable over trajectory
 populations, shardable over device meshes.
 """
@@ -140,6 +146,12 @@ def ls_execute(
         cand_score = nb.scores[idx]
         cand_state = problem.apply_move(c.state, nb.moves, idx)
         any_valid = found
+        # Distinguish a genuinely empty neighborhood (reference breaks the
+        # descent, local_search.rs:336-338) from tabu-retry exhaustion —
+        # valid non-tabu candidates may remain beyond the retry budget, so
+        # that case counts as a non-improving iteration and the descent
+        # continues (it still ends via the no-improvement bail).
+        empty_nbr = ~jnp.any(nb.valid)
 
         improved = lex_less(cand_score, c.score) & any_valid
         step = any_valid & ~hit_best
@@ -163,9 +175,11 @@ def ls_execute(
             best_score=best_score,
             tabu=tabu,
             key=key,
-            no_improve=jnp.where(step, no_improve, c.no_improve),
+            no_improve=jnp.where(step, no_improve, jnp.where(
+                ~any_valid, no_improve, c.no_improve
+            )),
             it=c.it + 1,
-            done=hit_best | bail | ~any_valid,
+            done=hit_best | bail | empty_nbr,
         )
 
     out = jax.lax.while_loop(cond, body, carry)

@@ -31,22 +31,40 @@ _LIB_CACHE = None
 
 
 def _build_lib() -> str:
-    """Compile native/diagram.cc to a shared library (cached by mtime)."""
-    build_dir = os.path.join(tempfile.gettempdir(), "csp_tpu_native")
-    os.makedirs(build_dir, exist_ok=True)
+    """Compile native/diagram.cc to a shared library (cached by mtime).
+
+    The cache dir is per-user with mode 0700 (a fixed world-writable /tmp
+    path could be pre-seeded by another local user and loaded via ctypes),
+    and the compile goes to a unique temp file renamed into place so
+    concurrent builders (parallel pytest workers) never dlopen a
+    half-written object."""
+    build_dir = os.path.join(
+        tempfile.gettempdir(), f"csp_tpu_native_{os.getuid()}"
+    )
+    os.makedirs(build_dir, mode=0o700, exist_ok=True)
+    if os.stat(build_dir).st_uid != os.getuid():
+        raise RuntimeError(f"{build_dir} is not owned by this user")
+    os.chmod(build_dir, 0o700)
     so_path = os.path.join(build_dir, "libcspdiagram.so")
     if (
         not os.path.exists(so_path)
         or os.path.getmtime(so_path) < os.path.getmtime(_SRC)
     ):
-        subprocess.run(
-            [
-                "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-                "-o", so_path, _SRC,
-            ],
-            check=True,
-            capture_output=True,
-        )
+        fd, tmp_path = tempfile.mkstemp(suffix=".so", dir=build_dir)
+        os.close(fd)
+        try:
+            subprocess.run(
+                [
+                    "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                    "-o", tmp_path, _SRC,
+                ],
+                check=True,
+                capture_output=True,
+            )
+            os.rename(tmp_path, so_path)  # atomic within the same dir
+        finally:
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
     return so_path
 
 

@@ -89,7 +89,9 @@ def make_ackley_problem(
         cands = x[None, :] + deltas
         scores = make_score(ackley(cands))
         dims = jnp.tile(jnp.arange(d, dtype=jnp.int32), 2)  # [2d]
-        new_vals = jnp.take_along_axis(cands, dims[:, None], axis=1)[:, 0]
+        # Candidate j changes dimension (j mod d) to x +/- step — build the
+        # changed values directly (gather-free; docs/DESIGN.md hot-path rule).
+        new_vals = jnp.concatenate([x + step, x - step])  # [2d]
         moves = (dims, new_vals)
         valid = jnp.ones((2 * d,), bool)
         return Neighborhood(scores=scores, moves=moves, valid=valid)

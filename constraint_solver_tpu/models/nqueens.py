@@ -106,30 +106,31 @@ def total_conflicts(rows: jax.Array) -> jax.Array:
     return (s(rc) + s(dc) + s(ac)).astype(jnp.int32)
 
 
-def col_scores(rows: jax.Array) -> jax.Array:
-    """Per-column conflict counts, matching ``get_col_scores``
-    (ref lib.rs:74-87): column c conflicts with (rc-1)+(dc-1)+(ac-1) others."""
+def _col_scores_from_counts(rows, rc, dc, ac) -> jax.Array:
+    """Per-column conflict counts from line counters: column c conflicts
+    with (rc-1)+(dc-1)+(ac-1) others — the single definition of the
+    per-column convention (ref lib.rs:74-87), shared by the oracle-tested
+    ``col_scores`` and the solver-state ``cs``."""
     n = rows.shape[-1]
     cols = jnp.arange(n, dtype=rows.dtype)
-    rc, dc, ac = line_counts(rows)
     return (
         (_take_1d(rc, rows) - 1)
         + (_take_1d(dc, rows - cols + (n - 1)) - 1)
         + (_take_1d(ac, rows + cols) - 1)
-    ).astype(jnp.int32)
+    )
+
+
+def col_scores(rows: jax.Array) -> jax.Array:
+    """Per-column conflict counts, matching ``get_col_scores``
+    (ref lib.rs:74-87)."""
+    return _col_scores_from_counts(rows, *line_counts(rows)).astype(jnp.int32)
 
 
 def build_state(rows: jax.Array) -> NQState:
     """Construct the full counter state from a bare board (O(n^2) one-hots;
     used at init / perturbation / restart, not in the inner loop)."""
-    n = rows.shape[-1]
-    cols = jnp.arange(n, dtype=rows.dtype)
     rc, dc, ac = line_counts(rows)
-    cs = (
-        (_take_1d(rc, rows) - 1)
-        + (_take_1d(dc, rows - cols + (n - 1)) - 1)
-        + (_take_1d(ac, rows + cols) - 1)
-    )
+    cs = _col_scores_from_counts(rows, rc, dc, ac)
     return NQState(rows=rows, rc=rc, dc=dc, ac=ac, cs=cs)
 
 

@@ -219,13 +219,19 @@ class ParallelMinConflictsSolver:
         p_accept: float = 0.7,
         use_pallas: bool | str = False,
         population: int = 1,
+        sample_cols: int | None = None,
     ):
+        """``sample_cols``: bound each step's score block to [A, n] — the
+        huge-board mode (nqueens >= ~4096 would otherwise score a full
+        [n, n] matrix in one dispatch; docs/DESIGN.md axon limits)."""
         self.n = board_size
         self.population = population
+        # Per-step evaluated block width (for the moves metric).
+        self._block = (sample_cols or board_size) * board_size
         key = seed_string_to_key(seed)
         if population == 1:
             self._out = pmc_solve(
-                board_size, key, max_steps, p_accept, use_pallas
+                board_size, key, max_steps, p_accept, use_pallas, sample_cols
             )
         else:
             keys = jax.random.split(key, population)
@@ -235,6 +241,7 @@ class ParallelMinConflictsSolver:
                 max_steps=max_steps,
                 p_accept=p_accept,
                 use_pallas=use_pallas,
+                sample_cols=sample_cols,
             )
             outs = jax.vmap(solve)(keys)
             lane = jnp.argmin(outs.score)
@@ -248,9 +255,9 @@ class ParallelMinConflictsSolver:
         )
 
     def stats(self) -> dict:
-        # Each step evaluates the full n x n move matrix.
+        # Each step evaluates an [A, n] move block (A = n without sampling).
         steps = int(np.asarray(self._out.steps))
         return {
             "steps": steps,
-            "moves_evaluated": steps * self.n * self.n * max(1, self.population),
+            "moves_evaluated": steps * self._block * max(1, self.population),
         }

@@ -105,10 +105,13 @@ def exchange_elites(
         n_cull = int(p * cull_frac)
         if n_cull > 0:
             # Worst lanes by current hard score restart from their archive
-            # best (which now contains the global top-k).
+            # best (which now contains the global top-k).  Rank-based (double
+            # argsort) so score TIES cull exactly n_cull lanes — a >=
+            # threshold test would reset every tied lane and collapse the
+            # portfolio onto identical elites.
             cur_hard = states.current_score[:, 0]
-            threshold = jnp.sort(cur_hard)[p - n_cull]
-            cull = cur_hard >= threshold
+            rank = jnp.argsort(jnp.argsort(cur_hard))
+            cull = rank >= p - n_cull
             b_score, b_fp, b_state = jax.vmap(lambda e: e.get_best())(
                 states.elite
             )
@@ -191,6 +194,28 @@ def _population_init_program(problem: Problem, caps: tuple, population: int, mes
     # (device_put of process-local arrays onto a global sharding is
     # not allowed; jit with out_shardings is).
     return jax.jit(init, out_shardings=pop_sharding(mesh))
+
+
+@jax.jit
+def _reseed_jit(st: IlsState) -> IlsState:
+    """Problem-independent elite reseed, jitted once at module level (a
+    per-call closure would re-trace on every elastic-recovery event)."""
+
+    def one(lane: IlsState) -> IlsState:
+        key, k_pick = jax.random.split(lane.key)
+        score, fp, state = lane.elite.get_random(k_pick)
+        has = jnp.any(lane.elite.valid)
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(has, x, y), a, b
+        )
+        return lane._replace(
+            current_state=sel(state, lane.current_state),
+            current_score=jnp.where(has, score, lane.current_score),
+            current_fp=jnp.where(has, fp, lane.current_fp),
+            key=key,
+        )
+
+    return jax.vmap(one)(st)
 
 
 class PopulationSolver:
@@ -317,25 +342,7 @@ class PopulationSolver:
         its elite archive — the elastic-recovery story (SURVEY.md §5): after
         a slice restart, load the last checkpoint (exact) or call this to
         re-converge from gathered elites (approximate but warm)."""
-
-        def reseed(st: IlsState) -> IlsState:
-            def one(lane: IlsState) -> IlsState:
-                key, k_pick = jax.random.split(lane.key)
-                score, fp, state = lane.elite.get_random(k_pick)
-                has = jnp.any(lane.elite.valid)
-                sel = lambda a, b: jax.tree.map(
-                    lambda x, y: jnp.where(has, x, y), a, b
-                )
-                return lane._replace(
-                    current_state=sel(state, lane.current_state),
-                    current_score=jnp.where(has, score, lane.current_score),
-                    current_fp=jnp.where(has, fp, lane.current_fp),
-                    key=key,
-                )
-
-            return jax.vmap(one)(st)
-
-        self.state = jax.jit(reseed)(self.state)
+        self.state = _reseed_jit(self.state)
 
     # -- checkpoint / resume (SURVEY.md §5) -------------------------------
 
@@ -356,6 +363,10 @@ class PopulationSolver:
         from constraint_solver_tpu.utils.checkpoint import load_state
 
         self.state, meta = load_state(path, self.state)
+        assert meta.get("problem") == self.problem.name, (
+            f"checkpoint is for {meta.get('problem')}, "
+            f"solver is {self.problem.name}"
+        )
         assert meta.get("population") == self.population
         if self.mesh is not None:
             self.state = jax.device_put(self.state, pop_sharding(self.mesh))

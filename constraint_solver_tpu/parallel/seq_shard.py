@@ -125,22 +125,34 @@ def make_sharded_schedule_score(spec: ScheduleSpec, mesh, axis: str = "seq"):
         soft = s1_tot + s2 + spread(tot) + spread(wk_tot)
         return make_score(hard.astype(f32), soft)
 
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(),
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(),
+        )
     )
-    hol_j = jnp.asarray(holiday)
-    wkd_j = jnp.asarray(weekend)
-    wd_j = jnp.asarray(wd_onehot)
-
     def score(assign: jax.Array) -> jax.Array:
-        # NOTE: if a different mesh is ambient (e.g. a pop x nbr solver mesh
-        # from jax.set_mesh), call this under ``with jax.set_mesh(seq_mesh)``
-        # from OUTSIDE jit — shard_map requires its mesh to match the
-        # context mesh, and set_mesh cannot run under tracing.
-        a_pad = jnp.full((d_pad,), -1, jnp.int32).at[:d_days].set(assign)
-        return fn(a_pad, hol_j, wkd_j, wd_j)
+        """Host-callable entry: jitted internally, and runs under its own
+        mesh context so it composes with solvers that jax.set_mesh a
+        different (e.g. pop x nbr) mesh in the same process.  Do NOT wrap
+        in an outer jit (set_mesh cannot run under tracing); compose the
+        raw shard_fn instead if you need in-jit fusion."""
+        with jax.set_mesh(mesh):
+            # All device arrays (including the static tables) materialize
+            # inside this context — eager outputs commit to the ambient
+            # mesh's devices, which may differ from `mesh` in this process.
+            # Host round-trip: `assign` may be committed to another mesh's
+            # devices; np.asarray detaches it so the padded copy lands here.
+            a_pad = jnp.full((d_pad,), -1, jnp.int32).at[:d_days].set(
+                jnp.asarray(np.asarray(assign), jnp.int32)
+            )
+            return fn(
+                a_pad,
+                jnp.asarray(holiday),
+                jnp.asarray(weekend),
+                jnp.asarray(wd_onehot),
+            )
 
     return score

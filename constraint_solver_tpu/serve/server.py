@@ -88,19 +88,29 @@ class SolverService:
         start = datetime.date.fromisoformat(payload["startDate"])
         end = datetime.date.fromisoformat(payload["endDate"])
         employees = [e["id"] for e in payload.get("employees", [])]
+        holiday_lists = payload.get("employeeHolidays", [])
+        if len(holiday_lists) != len(employees):
+            raise ValueError(
+                f"employeeHolidays has {len(holiday_lists)} entries for "
+                f"{len(employees)} employees (zip would silently drop some)"
+            )
         holidays = {
             emp["id"]: [datetime.date.fromisoformat(d) for d in days]
-            for emp, days in zip(
-                payload.get("employees", []), payload.get("employeeHolidays", [])
-            )
+            for emp, days in zip(payload.get("employees", []), holiday_lists)
         }
         if not employees:
             raise ValueError("at least one employee required")
         if end < start:
             raise ValueError("endDate before startDate")
+        # Coerce JSON payload values (a numeric seed or stringy iteration
+        # count must not crash the handler thread).
         params = {**_DEFAULTS, **{
             k: payload[k] for k in _DEFAULTS if k in payload
         }}
+        params["seed"] = str(params["seed"])
+        for k in params:
+            if k not in ("seed",):
+                params[k] = int(params[k])
         spec = ScheduleSpec.from_dates(start, end, len(employees), {
             employees.index(e): days for e, days in holidays.items()
         })
@@ -296,7 +306,7 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(404, {"error": f"no route {method} {self.path}"})
         except KeyError as e:
             return self._send(404, {"error": f"unknown solver {e}"})
-        except (ValueError, json.JSONDecodeError) as e:
+        except (ValueError, TypeError, json.JSONDecodeError) as e:
             return self._send(400, {"error": str(e)})
 
     def do_GET(self):

@@ -36,7 +36,7 @@ def test_sharded_score_matches_dense(n_shards):
                                datetime.date(2022, 12, 26)]},
     )
     dense = make_scheduling_problem(spec).score
-    sharded = jax.jit(make_sharded_schedule_score(spec, _mesh(n_shards)))
+    sharded = make_sharded_schedule_score(spec, _mesh(n_shards))
     for seed in range(6):
         assign = jax.random.randint(
             jax.random.key(seed), (spec.num_days,), 0, 12, jnp.int32
@@ -54,7 +54,7 @@ def test_sharded_score_uneven_days():
         num_employees=7,
     )
     dense = make_scheduling_problem(spec).score
-    sharded = jax.jit(make_sharded_schedule_score(spec, _mesh(8)))
+    sharded = make_sharded_schedule_score(spec, _mesh(8))
     for seed in range(4):
         assign = jax.random.randint(
             jax.random.key(seed), (spec.num_days,), 0, 7, jnp.int32

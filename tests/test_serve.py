@@ -166,3 +166,33 @@ def test_unknown_problem_rejected(server_url):
     status, err = _req(server_url + "/api/solvers", "POST",
                        {"problem": "sudoku"})
     assert status == 400 and "sudoku" in err["error"]
+
+
+def test_numeric_seed_and_stringy_ints_coerced(server_url):
+    status, res = _req(server_url + "/api/solvers", "POST", {
+        "startDate": "2022-05-09", "endDate": "2022-05-15",
+        "employees": [{"id": 0}, {"id": 1}], "employeeHolidays": [[], []],
+        "seed": 42,  # JSON number, not string
+        "iterated_local_search_max_iterations": "3",  # stringy int
+    })
+    assert status == 200
+    sid = res["solverId"]
+    status, r = _req(f"{server_url}/api/solvers/{sid}/round", "POST")
+    assert status == 200
+    _req(f"{server_url}/api/solvers/{sid}", "DELETE")
+    # Uncoercible values are a 400, not a handler-thread crash.
+    status, err = _req(server_url + "/api/solvers", "POST", {
+        "startDate": "2022-05-09", "endDate": "2022-05-15",
+        "employees": [{"id": 0}], "employeeHolidays": [[]],
+        "local_search_max_iterations": "many",
+    })
+    assert status == 400
+
+
+def test_mismatched_holiday_lists_rejected(server_url):
+    status, err = _req(server_url + "/api/solvers", "POST", {
+        "startDate": "2022-05-09", "endDate": "2022-05-15",
+        "employees": [{"id": 0}, {"id": 1}, {"id": 2}],
+        "employeeHolidays": [[], ["2022-05-10"]],  # one short
+    })
+    assert status == 400 and "employeeHolidays" in err["error"]
