@@ -32,6 +32,11 @@ def main(argv=None):
                         "(required for n >= ~4096 on the tunneled chip)")
     parser.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint", default=None, metavar="PATH",
+                        help="snapshot solver state here every "
+                        "--checkpoint-every rounds; if PATH exists, resume "
+                        "from it (single-trajectory ils only)")
+    parser.add_argument("--checkpoint-every", type=int, default=200)
     args = parser.parse_args(argv)
 
     if args.platform == "cpu":
@@ -81,8 +86,17 @@ def main(argv=None):
         solver = PopulationSolver(problem, config, population=args.population)
         solver.run()
     else:
+        from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
+
         solver = Solver(problem, config)
-        solver.run()
+        if args.checkpoint and checkpoint_exists(args.checkpoint):
+            solver.load(args.checkpoint)
+            print(f"resumed from {args.checkpoint} at round "
+                  f"{solver.get_iteration_info()['current']}")
+        solver.run(
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+        )
     (hard, _soft), best_state = solver.get_best_solution()
     wall = time.time() - t0
 

@@ -26,6 +26,11 @@ def main(argv=None):
     parser.add_argument("--population", "-p", type=int, default=1)
     parser.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint", default=None, metavar="PATH",
+                        help="snapshot solver state here every "
+                        "--checkpoint-every rounds; if PATH exists, resume "
+                        "from it (single-trajectory only)")
+    parser.add_argument("--checkpoint-every", type=int, default=100)
     args = parser.parse_args(argv)
 
     if args.platform == "cpu":
@@ -60,9 +65,19 @@ def main(argv=None):
     t0 = time.time()
     if args.population > 1:
         solver = PopulationSolver(problem, config, population=args.population)
+        solver.run()
     else:
+        from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
+
         solver = Solver(problem, config)
-    solver.run()
+        if args.checkpoint and checkpoint_exists(args.checkpoint):
+            solver.load(args.checkpoint)
+            print(f"resumed from {args.checkpoint} at round "
+                  f"{solver.get_iteration_info()['current']}")
+        solver.run(
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+        )
     (hard, soft), assign = solver.get_best_solution()
     wall = time.time() - t0
 

@@ -27,6 +27,18 @@ from constraint_solver_tpu.core.ils import IlsState
 _FORMAT_VERSION = 1
 
 
+def checkpoint_path(path: str) -> str:
+    """The on-disk path for ``path`` (np.savez appends '.npz' to bare
+    paths; every save/load/exists check must use this normal form)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def checkpoint_exists(path: str) -> bool:
+    import os
+
+    return os.path.exists(checkpoint_path(path))
+
+
 def save_state(path: str, state: IlsState, meta: dict | None = None) -> None:
     """Serialize an IlsState (single or population) to ``path`` (.npz)."""
     leaves, _treedef = jax.tree.flatten(state)
@@ -52,19 +64,13 @@ def save_state(path: str, state: IlsState, meta: dict | None = None) -> None:
     )
     arrays["__header__"] = np.frombuffer(header.encode(), dtype=np.uint8)
     arrays["__key_leaves__"] = np.asarray(key_idx, dtype=np.int64)
-    # np.savez silently appends '.npz' to bare paths; normalize so
-    # save/load round-trip for any path the caller picked.
-    if not path.endswith(".npz"):
-        path = path + ".npz"
-    np.savez(path, **arrays)
+    np.savez(checkpoint_path(path), **arrays)
 
 
 def load_state(path: str, example: IlsState) -> tuple[IlsState, dict]:
     """Load a checkpoint; ``example`` provides the pytree structure (build it
     with the same problem/config used at save time)."""
-    if not path.endswith(".npz"):
-        path = path + ".npz"
-    with np.load(path) as data:
+    with np.load(checkpoint_path(path)) as data:
         header = json.loads(bytes(data["__header__"]).decode())
         assert header["version"] == _FORMAT_VERSION, header
         key_leaves = set(data["__key_leaves__"].tolist())
@@ -79,4 +85,12 @@ def load_state(path: str, example: IlsState) -> tuple[IlsState, dict]:
         return jax.tree.unflatten(treedef, leaves), header["meta"]
 
 
-__all__ = ["save_state", "load_state", "EliteArchive", "TabuRing", "IlsState"]
+__all__ = [
+    "save_state",
+    "load_state",
+    "checkpoint_path",
+    "checkpoint_exists",
+    "EliteArchive",
+    "TabuRing",
+    "IlsState",
+]

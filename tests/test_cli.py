@@ -36,3 +36,20 @@ def test_format_board_matches_reference_layout():
     assert lines[0] == "-" * 17  # 4n+1 dashes
     assert lines[1] == "|   |   | Q |   |"  # row 0 has the queen of column 2
     assert lines[3] == "| Q |   |   |   |"  # row 1 -> column 0
+
+
+def test_nqueens_cli_checkpoint_resume(tmp_path, capsys):
+    from constraint_solver_tpu.cli import nqueens as cli
+
+    from constraint_solver_tpu.utils.checkpoint import checkpoint_path
+
+    ckpt = str(tmp_path / "nq.ckpt")
+    cli.main(["--platform", "cpu", "--board-size", "10", "--rounds", "4",
+              "--checkpoint", ckpt, "--checkpoint-every", "2", "--quiet"])
+    capsys.readouterr()
+    import os
+    assert os.path.exists(checkpoint_path(ckpt))
+    cli.main(["--platform", "cpu", "--board-size", "10", "--rounds", "8",
+              "--checkpoint", ckpt, "--quiet"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out
