@@ -35,7 +35,7 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None, metavar="PATH",
                         help="snapshot solver state here every "
                         "--checkpoint-every rounds; if PATH exists, resume "
-                        "from it (single-trajectory ils only)")
+                        "from it (ils algos; not pmc)")
     parser.add_argument("--checkpoint-every", type=int, default=200)
     args = parser.parse_args(argv)
 
@@ -83,8 +83,17 @@ def main(argv=None):
             sample_cols=sample_cols,
         )
     elif args.population > 1:
+        from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
+
         solver = PopulationSolver(problem, config, population=args.population)
-        solver.run()
+        if args.checkpoint and checkpoint_exists(args.checkpoint):
+            solver.load(args.checkpoint)
+            print(f"resumed from {args.checkpoint} at round "
+                  f"{solver.get_iteration_info()['current']}")
+        solver.run(
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+        )
     else:
         from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
 

@@ -63,12 +63,19 @@ def main(argv=None):
     )
     problem = make_scheduling_problem(spec, window_size=args.window_size)
     t0 = time.time()
+    from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
+
     if args.population > 1:
         solver = PopulationSolver(problem, config, population=args.population)
-        solver.run()
+        if args.checkpoint and checkpoint_exists(args.checkpoint):
+            solver.load(args.checkpoint)
+            print(f"resumed from {args.checkpoint} at round "
+                  f"{solver.get_iteration_info()['current']}")
+        solver.run(
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+        )
     else:
-        from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
-
         solver = Solver(problem, config)
         if args.checkpoint and checkpoint_exists(args.checkpoint):
             solver.load(args.checkpoint)

@@ -300,7 +300,14 @@ class PopulationSolver:
         max_rounds: int | None = None,
         chunk: int | None = None,
         verbose: bool = False,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 200,
     ) -> None:
+        """Run rounds until finished/converged/cancelled.  With
+        ``checkpoint_path``, the full population state (all lanes' solutions,
+        archives, tabu rings, PRNG keys) snapshots every ``checkpoint_every``
+        rounds and at exit — the restartable-outer-loop failure story of
+        SURVEY.md §5 for the population mode."""
         import time
 
         chunk = chunk or self.exchange_every
@@ -308,6 +315,7 @@ class PopulationSolver:
         if max_rounds is not None:
             total = min(total, self._round_count() + max_rounds)
         rounds_done = self._round_count()
+        last_ckpt = rounds_done
         t0 = time.time()
         while not self.cancelled and rounds_done < total:
             n = min(chunk, total - rounds_done)
@@ -319,9 +327,14 @@ class PopulationSolver:
                     f"[{self.problem.name} xP{self.population}] round "
                     f"{rounds_done}/{total} best score: ({score[0]}, {score[1]})"
                 )
+            if checkpoint_path and rounds_done - last_ckpt >= checkpoint_every:
+                self.save(checkpoint_path)
+                last_ckpt = rounds_done
             if bool(self.problem.is_best(score)):
                 break
         self._wall += time.time() - t0
+        if checkpoint_path:
+            self.save(checkpoint_path)
 
     def stats(self) -> dict:
         rounds, iters = self._probe_jit(self.state)

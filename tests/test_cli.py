@@ -53,3 +53,20 @@ def test_nqueens_cli_checkpoint_resume(tmp_path, capsys):
               "--checkpoint", ckpt, "--quiet"])
     out = capsys.readouterr().out
     assert "resumed from" in out
+
+
+def test_population_cli_checkpoint_resume(tmp_path, capsys):
+    from constraint_solver_tpu.cli import scheduling as cli
+
+    ckpt = str(tmp_path / "sched.ckpt")
+    cli.main(["--platform", "cpu", "--employees", "3", "--days", "14",
+              "--rounds", "4", "--population", "4",
+              "--checkpoint", ckpt, "--checkpoint-every", "2", "--quiet"])
+    capsys.readouterr()
+    from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
+    assert checkpoint_exists(ckpt)
+    cli.main(["--platform", "cpu", "--employees", "3", "--days", "14",
+              "--rounds", "8", "--population", "4",
+              "--checkpoint", ckpt, "--quiet"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out
