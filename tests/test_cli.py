@@ -70,3 +70,11 @@ def test_population_cli_checkpoint_resume(tmp_path, capsys):
               "--checkpoint", ckpt, "--quiet"])
     out = capsys.readouterr().out
     assert "resumed from" in out
+
+
+def test_ackley_cli_converges(capsys):
+    from constraint_solver_tpu.cli import ackley as cli
+
+    rc = cli.main(["--platform", "cpu", "--dims", "2", "--rounds", "200"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "result.value" in out
