@@ -69,6 +69,9 @@ def main(argv=None):
             ParallelMinConflictsSolver,
         )
 
+        if args.checkpoint:
+            print("warning: --checkpoint is ignored with --algo pmc "
+                  "(pmc runs are single-dispatch chunks, not resumable)")
         sample_cols = args.pmc_sample_cols
         if sample_cols is None and n >= 4096:
             # Default the huge-board mode on: a full [n, n] block per step
@@ -82,30 +85,16 @@ def main(argv=None):
             population=args.population,
             sample_cols=sample_cols,
         )
-    elif args.population > 1:
-        from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
-
-        solver = PopulationSolver(problem, config, population=args.population)
-        if args.checkpoint and checkpoint_exists(args.checkpoint):
-            solver.load(args.checkpoint)
-            print(f"resumed from {args.checkpoint} at round "
-                  f"{solver.get_iteration_info()['current']}")
-        solver.run(
-            checkpoint_path=args.checkpoint,
-            checkpoint_every=args.checkpoint_every,
-        )
     else:
-        from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
+        from constraint_solver_tpu.utils.checkpoint import resume_and_run
 
-        solver = Solver(problem, config)
-        if args.checkpoint and checkpoint_exists(args.checkpoint):
-            solver.load(args.checkpoint)
-            print(f"resumed from {args.checkpoint} at round "
-                  f"{solver.get_iteration_info()['current']}")
-        solver.run(
-            checkpoint_path=args.checkpoint,
-            checkpoint_every=args.checkpoint_every,
-        )
+        if args.population > 1:
+            solver = PopulationSolver(
+                problem, config, population=args.population
+            )
+        else:
+            solver = Solver(problem, config)
+        resume_and_run(solver, args.checkpoint, args.checkpoint_every)
     (hard, _soft), best_state = solver.get_best_solution()
     wall = time.time() - t0
 

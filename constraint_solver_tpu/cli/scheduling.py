@@ -29,7 +29,7 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None, metavar="PATH",
                         help="snapshot solver state here every "
                         "--checkpoint-every rounds; if PATH exists, resume "
-                        "from it (single-trajectory only)")
+                        "from it (single-trajectory and population modes)")
     parser.add_argument("--checkpoint-every", type=int, default=100)
     args = parser.parse_args(argv)
 
@@ -63,28 +63,13 @@ def main(argv=None):
     )
     problem = make_scheduling_problem(spec, window_size=args.window_size)
     t0 = time.time()
-    from constraint_solver_tpu.utils.checkpoint import checkpoint_exists
+    from constraint_solver_tpu.utils.checkpoint import resume_and_run
 
     if args.population > 1:
         solver = PopulationSolver(problem, config, population=args.population)
-        if args.checkpoint and checkpoint_exists(args.checkpoint):
-            solver.load(args.checkpoint)
-            print(f"resumed from {args.checkpoint} at round "
-                  f"{solver.get_iteration_info()['current']}")
-        solver.run(
-            checkpoint_path=args.checkpoint,
-            checkpoint_every=args.checkpoint_every,
-        )
     else:
         solver = Solver(problem, config)
-        if args.checkpoint and checkpoint_exists(args.checkpoint):
-            solver.load(args.checkpoint)
-            print(f"resumed from {args.checkpoint} at round "
-                  f"{solver.get_iteration_info()['current']}")
-        solver.run(
-            checkpoint_path=args.checkpoint,
-            checkpoint_every=args.checkpoint_every,
-        )
+    resume_and_run(solver, args.checkpoint, args.checkpoint_every)
     (hard, soft), assign = solver.get_best_solution()
     wall = time.time() - t0
 

@@ -299,6 +299,12 @@ class Solver:
             total = min(total, int(self.state.round) + max_rounds)
         rounds_done = int(self.state.round)
         last_ckpt = rounds_done
+        if rounds_done > 0 and bool(
+            self.problem.is_best(jnp.asarray(self._best_score_jit(self.state)))
+        ):
+            # Resumed an already-solved checkpoint: don't burn a chunk
+            # dispatch discovering that.
+            total = rounds_done
         t0 = time.time()
         while not self.cancelled and rounds_done < total:
             n = min(chunk, total - rounds_done)
@@ -327,7 +333,11 @@ class Solver:
         save_state(
             path,
             self.state,
-            {"problem": self.problem.name, "seed": self.config.seed},
+            {
+                "problem": self.problem.name,
+                "seed": self.config.seed,
+                "population": 1,
+            },
         )
 
     def load(self, path: str) -> None:
@@ -336,6 +346,12 @@ class Solver:
         self.state, meta = load_state(path, self.state)
         assert meta.get("problem") == self.problem.name, (
             f"checkpoint is for {meta.get('problem')}, solver is {self.problem.name}"
+        )
+        # A population checkpoint has the same pytree structure (leading
+        # [P] axis on every leaf) and would silently mis-trace here.
+        assert meta.get("population", 1) == 1, (
+            f"checkpoint is population-mode (P={meta.get('population')}); "
+            "resume it with the same --population"
         )
 
     # -- metrics ----------------------------------------------------------

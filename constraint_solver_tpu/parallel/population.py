@@ -316,6 +316,12 @@ class PopulationSolver:
             total = min(total, self._round_count() + max_rounds)
         rounds_done = self._round_count()
         last_ckpt = rounds_done
+        if rounds_done > 0 and bool(
+            self.problem.is_best(jnp.asarray(self._best_score_jit(self.state)))
+        ):
+            # Resumed an already-solved checkpoint: don't burn a chunk
+            # dispatch discovering that.
+            total = rounds_done
         t0 = time.time()
         while not self.cancelled and rounds_done < total:
             n = min(chunk, total - rounds_done)

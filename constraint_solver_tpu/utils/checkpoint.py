@@ -39,6 +39,21 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.exists(checkpoint_path(path))
 
 
+def resume_and_run(solver, checkpoint: str | None, every: int, **run_kwargs):
+    """Shared CLI resume-then-run flow: if ``checkpoint`` exists, load it
+    (announcing the resumed round), then run with periodic snapshots.
+    Works for both Solver and PopulationSolver."""
+    if checkpoint and checkpoint_exists(checkpoint):
+        solver.load(checkpoint)
+        print(
+            f"resumed from {checkpoint} at round "
+            f"{solver.get_iteration_info()['current']}"
+        )
+    solver.run(
+        checkpoint_path=checkpoint, checkpoint_every=every, **run_kwargs
+    )
+
+
 def save_state(path: str, state: IlsState, meta: dict | None = None) -> None:
     """Serialize an IlsState (single or population) to ``path`` (.npz)."""
     leaves, _treedef = jax.tree.flatten(state)
@@ -64,7 +79,22 @@ def save_state(path: str, state: IlsState, meta: dict | None = None) -> None:
     )
     arrays["__header__"] = np.frombuffer(header.encode(), dtype=np.uint8)
     arrays["__key_leaves__"] = np.asarray(key_idx, dtype=np.int64)
-    np.savez(checkpoint_path(path), **arrays)
+    # Atomic snapshot: a crash mid-save must never corrupt the previous
+    # checkpoint (this file IS the crash-recovery story).
+    import os
+    import tempfile
+
+    final = checkpoint_path(path)
+    fd, tmp = tempfile.mkstemp(
+        suffix=".npz", dir=os.path.dirname(os.path.abspath(final)) or "."
+    )
+    os.close(fd)
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, final)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_state(path: str, example: IlsState) -> tuple[IlsState, dict]:
