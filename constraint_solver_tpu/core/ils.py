@@ -312,9 +312,13 @@ class Solver:
             rounds_done += n
             score = jnp.asarray(self._best_score_jit(self.state))
             if verbose:
+                # Best AND current, the reference's per-round progress line
+                # (ref iterated_local_search.rs:176-179).
+                cur = np.asarray(self.state.current_score)
                 print(
                     f"[{self.problem.name}] round {rounds_done}/{total} "
-                    f"best score: ({score[0]}, {score[1]})"
+                    f"best score: ({score[0]}, {score[1]}) "
+                    f"current score: ({cur[0]}, {cur[1]})"
                 )
             if checkpoint_path and rounds_done - last_ckpt >= checkpoint_every:
                 self.save(checkpoint_path)
@@ -344,15 +348,21 @@ class Solver:
         from constraint_solver_tpu.utils.checkpoint import load_state
 
         self.state, meta = load_state(path, self.state)
-        assert meta.get("problem") == self.problem.name, (
-            f"checkpoint is for {meta.get('problem')}, solver is {self.problem.name}"
-        )
+        # Real exceptions, not asserts: `python -O` strips asserts, and a
+        # mismatched checkpoint would silently mis-trace (same pytree
+        # structure, wrong meaning).
+        if meta.get("problem") != self.problem.name:
+            raise ValueError(
+                f"checkpoint is for {meta.get('problem')}, "
+                f"solver is {self.problem.name}"
+            )
         # A population checkpoint has the same pytree structure (leading
         # [P] axis on every leaf) and would silently mis-trace here.
-        assert meta.get("population", 1) == 1, (
-            f"checkpoint is population-mode (P={meta.get('population')}); "
-            "resume it with the same --population"
-        )
+        if meta.get("population", 1) != 1:
+            raise ValueError(
+                f"checkpoint is population-mode (P={meta.get('population')}); "
+                "resume it with the same --population"
+            )
 
     # -- metrics ----------------------------------------------------------
 

@@ -329,9 +329,14 @@ class PopulationSolver:
             rounds_done += n
             score = jnp.asarray(self._best_score_jit(self.state))
             if verbose:
+                # Best AND current (lex-min over lanes), the reference's
+                # per-round progress line (ref iterated_local_search.rs:176-179).
+                cur = np.asarray(self.state.current_score)
+                lane = np.lexsort((cur[:, 1], cur[:, 0]))[0]
                 print(
                     f"[{self.problem.name} xP{self.population}] round "
-                    f"{rounds_done}/{total} best score: ({score[0]}, {score[1]})"
+                    f"{rounds_done}/{total} best score: ({score[0]}, {score[1]}) "
+                    f"current score: ({cur[lane, 0]}, {cur[lane, 1]})"
                 )
             if checkpoint_path and rounds_done - last_ckpt >= checkpoint_every:
                 self.save(checkpoint_path)
@@ -382,10 +387,17 @@ class PopulationSolver:
         from constraint_solver_tpu.utils.checkpoint import load_state
 
         self.state, meta = load_state(path, self.state)
-        assert meta.get("problem") == self.problem.name, (
-            f"checkpoint is for {meta.get('problem')}, "
-            f"solver is {self.problem.name}"
-        )
-        assert meta.get("population") == self.population
+        # Real exceptions, not asserts (stripped under `python -O`): a
+        # mismatched checkpoint would silently mis-trace otherwise.
+        if meta.get("problem") != self.problem.name:
+            raise ValueError(
+                f"checkpoint is for {meta.get('problem')}, "
+                f"solver is {self.problem.name}"
+            )
+        if meta.get("population", 1) != self.population:
+            raise ValueError(
+                f"checkpoint is for population={meta.get('population', 1)}, "
+                f"solver has population={self.population}"
+            )
         if self.mesh is not None:
             self.state = jax.device_put(self.state, pop_sharding(self.mesh))

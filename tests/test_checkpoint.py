@@ -3,6 +3,7 @@ continuation (SURVEY.md §5)."""
 
 import jax
 import numpy as np
+import pytest
 
 from constraint_solver_tpu.core.ils import Solver, SolverConfig
 from constraint_solver_tpu.models.nqueens import make_nqueens_problem
@@ -66,11 +67,29 @@ def test_checkpoint_rejects_wrong_problem(tmp_path):
     a.save(path)
     b = Solver(make_nqueens_problem(8, sample_cols=2), _cfg())
     b.problem = b.problem._replace(name="other")
-    try:
+    with pytest.raises(ValueError, match="checkpoint is for"):
         b.load(path)
-        raise AssertionError("expected mismatch assertion")
-    except AssertionError as e:
-        assert "checkpoint is for" in str(e) or "expected" not in str(e)
+
+
+def test_checkpoint_rejects_population_mode_mismatch(tmp_path):
+    """A population checkpoint loaded into a single-trajectory solver (or a
+    differently-sized population) must raise a real exception — these are
+    ValueError (not assert) so `python -O` cannot strip the check and let the
+    state silently mis-trace."""
+    problem = make_nqueens_problem(8)
+    pop = PopulationSolver(problem, _cfg(), population=4)
+    pop.run(max_rounds=2, chunk=2)
+    path = str(tmp_path / "pop.npz")
+    pop.save(path)
+
+    single = Solver(problem, _cfg())
+    with pytest.raises(ValueError, match="population-mode"):
+        single.load(path)
+
+    # Population-size mismatch is also a hard error.
+    other = PopulationSolver(problem, _cfg(), population=8)
+    with pytest.raises(ValueError, match="population"):
+        other.load(path)
 
 
 def test_checkpoint_path_without_npz_extension(tmp_path):
