@@ -1,4 +1,4 @@
-"""Employee-scheduling domain: 4 hard + 4 soft constraints, dense scoring.
+"""Employee-scheduling domain: 4 hard + 4 soft constraints, delta-evaluated.
 
 Reference semantics (reference examples/employee-scheduling/src/lib.rs):
 
@@ -24,7 +24,22 @@ Reference semantics (reference examples/employee-scheduling/src/lib.rs):
 - perturbation: {ChangeDaysSubsetRandomly: 100, DoNothing: 10}, altering
   ``U[1, D/20]`` days near elites else ``U[1, D/2]`` (ref lib.rs:567-613).
 
-All eight constraints are one fused tensor pass: one-hot day x employee
+Candidate scoring is **delta evaluation** (SURVEY.md §7 hard-part 1), the
+scheduling analog of the nqueens counter deltas: a ChangeDay/SwapDays move
+touches at most 2 days, so only windows CONTAINING a changed day can change
+value.  Per candidate we dynamic-slice a 27-day region around each changed
+day (contiguous slices, never random gathers), recompute the K-wide window
+values (K = 2/7/9/14) under the old and new local assignment, and sum the
+differences over exactly the affected window starts — windows double-covered
+by both changed days are masked out of the second day's sum.  Employee-level
+aggregates (S2 weekday counts, S3/S4 totals) are maintained as [5,E]/[E]
+count tensors updated by +-1 one-hot adds per candidate.  The result is
+EXACT: tests prove delta scores == the full rescore for every candidate.
+Cost per candidate is O(R·E) with R = 27 region days, independent of D —
+the full-rescore path is O(D·E) per candidate (A/B kept as
+``proposer="rescore"``).
+
+All full scores remain one fused tensor pass: one-hot day x employee
 matrix, prefix-sum window counters for the 7/14-day windows, shifted
 comparisons for adjacency/weekend patterns — no per-window HashMap counting
 (ref lib.rs:317-339) anywhere.
@@ -46,8 +61,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from constraint_solver_tpu.core.problem import Neighborhood, Problem
-from constraint_solver_tpu.ops.fingerprint import fingerprint_i32
+from constraint_solver_tpu.ops.fingerprint import fingerprint_i32, fp_update
 from constraint_solver_tpu.ops.lex import make_score
+
+# Delta-evaluation region: the widest window is 14 days (H4), so windows
+# containing day d start in [d-13, d] and span days [d-13, d+13].
+PAD = 13
+REG = 2 * PAD + 1  # 27
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,9 +120,13 @@ def make_scheduling_problem(
 ) -> Problem:
     """``proposer``:
 
-    - "random": the reference's used proposer — an infinite random
+    - "random" (default): the reference's used proposer — an infinite random
       ChangeDay/SwapDays stream truncated to ``window_size``
-      (ref ScheduleRandomMoveProposer, lib.rs:428-491);
+      (ref ScheduleRandomMoveProposer, lib.rs:428-491), candidate scores by
+      exact O(R·E) delta evaluation;
+    - "rescore": identical move sampling, candidates scored by the O(D·E)
+      full-rescore batch (the round-1 path, kept for the delta-vs-rescore
+      A/B — same trajectories, different cost);
     - "systematic": the reference's deterministic rotate-each-day-through-
       all-successor-employees neighborhood (ref ScheduleMoveProposer,
       lib.rs:493-559 — constructed but commented out at lib.rs:59-60);
@@ -112,17 +136,46 @@ def make_scheduling_problem(
     d_days = spec.num_days
     n_emp = spec.num_employees
     w_size = window_size
+    f32 = jnp.float32
     holiday = jnp.asarray(spec.holiday_array())          # bool[E, D]
+    holiday_de = jnp.asarray(spec.holiday_array().T, f32)  # f32[D, E]
     weekend = jnp.asarray(spec.is_weekend())             # bool[D]
+    weekend_f = weekend.astype(f32)                      # f32[D]
     weekday = jnp.asarray(spec.weekdays(), jnp.int32)    # int32[D]
     # weekday one-hot for Mon..Fri rows: [5, D]
     wd_onehot = jnp.asarray(
         (spec.weekdays()[None, :] == np.arange(5)[:, None]), jnp.float32
     )
-    del weekday
+    # Padded static tables for the 27-day delta regions.  Padding days hold
+    # employee -1 (matches nothing, one-hots to zero) and weekend False.
+    wk_pad = jnp.concatenate(
+        [jnp.zeros((PAD,), bool), weekend, jnp.zeros((PAD,), bool)]
+    )
+
+    # -- aggregate-level soft scores (shared by full and delta paths) ------
+
+    def s2_of(wd_counts: jax.Array) -> jax.Array:
+        """S2 from a [5, E] weekday x employee count matrix (ref :194-218)."""
+        wd_present = wd_counts > 0
+        n_present = jnp.sum(wd_present, axis=1)
+        min_present = jnp.min(jnp.where(wd_present, wd_counts, jnp.inf), axis=1)
+        return jnp.sum(jnp.where(n_present > 1, min_present, 0.0))
+
+    def s34_of(tot: jax.Array, wk: jax.Array) -> jax.Array:
+        """S3 + S4 spreads; 'present' = employees with >= 1 total day for
+        BOTH spreads (the reference iterates employees_to_days keys,
+        ref :344-365)."""
+        present = tot > 0
+        n_pres = jnp.sum(present)
+        spread = lambda v: jnp.where(
+            n_pres >= 2,
+            jnp.max(jnp.where(present, v, -jnp.inf))
+            - jnp.min(jnp.where(present, v, jnp.inf)),
+            0.0,
+        )
+        return spread(tot) + spread(wk)
 
     def score(assign: jax.Array) -> jax.Array:
-        f32 = jnp.float32
         oh = jax.nn.one_hot(assign, n_emp, dtype=f32)  # [D, E]
 
         # H1 — holidays (ref :272-280); one-hot contraction, not a gather.
@@ -165,31 +218,15 @@ def make_scheduling_problem(
             s1 = 0
 
         # S2 — weekday consistency Mon-Fri (ref :194-218, :341-342).
-        wd_counts = wd_onehot @ oh  # [5, E]
-        wd_present = wd_counts > 0
-        n_present = jnp.sum(wd_present, axis=1)  # [5]
-        min_present = jnp.min(
-            jnp.where(wd_present, wd_counts, jnp.inf), axis=1
-        )
-        s2 = jnp.sum(jnp.where(n_present > 1, min_present, 0.0))
+        s2 = s2_of(wd_onehot @ oh)
 
-        # S3/S4 — max-min spreads over employees with >= 1 total day
-        # (ref :344-365; the min/max iterate the employees_to_days map keys).
+        # S3/S4 — max-min spreads (ref :344-365).
         tot = jnp.sum(oh, axis=0)  # [E]
-        present = tot > 0
-        n_pres = jnp.sum(present)
-        spread = lambda v: jnp.where(
-            n_pres >= 2,
-            jnp.max(jnp.where(present, v, -jnp.inf))
-            - jnp.min(jnp.where(present, v, jnp.inf)),
-            0.0,
-        )
-        s3 = spread(tot)
         wk = jnp.sum(oh * weekend[:, None], axis=0)
-        s4 = spread(wk)
+        s34 = s34_of(tot, wk)
 
         hard = h1 + h2 + h3 + h4
-        soft = s1 + s2 + s3 + s4
+        soft = s1 + s2 + s34
         return make_score(hard.astype(f32), soft.astype(f32))
 
     def init(key):
@@ -201,6 +238,227 @@ def make_scheduling_problem(
 
     def fingerprint(assign):
         return fingerprint_i32(assign)
+
+    # -- move sampling (shared by the delta and rescore paths) -------------
+
+    def sample_moves(key):
+        """W random moves ~ {ChangeDay: 1, SwapDays: 4} (ref lib.rs:435);
+        swap day pair uniform over distinct pairs via d1 + U[1, D) mod D
+        (ref choose_multiple(2), lib.rs:472-477)."""
+        k_type, k_d1, k_off, k_emp = jax.random.split(key, 4)
+        is_swap = jax.random.uniform(k_type, (w_size,)) < 0.8
+        d1 = jax.random.randint(k_d1, (w_size,), 0, d_days, jnp.int32)
+        off = jax.random.randint(k_off, (w_size,), 1, max(d_days, 2), jnp.int32)
+        d2 = (d1 + off) % d_days
+        new_emp = jax.random.randint(k_emp, (w_size,), 0, n_emp, jnp.int32)
+        return is_swap, d1, d2, new_emp
+
+    def resolve_move(assign, move):
+        """A move as two (day, old_emp -> new_emp) point changes.  For
+        ChangeDay the second change is the identity (n2 == e2), so every
+        downstream +-1 one-hot difference vanishes without branching."""
+        is_swap, d1, d2, new_emp = move
+        e1 = jax.lax.dynamic_index_in_dim(assign, d1, keepdims=False)
+        e2 = jax.lax.dynamic_index_in_dim(assign, d2, keepdims=False)
+        n1 = jnp.where(is_swap, e2, new_emp)
+        n2 = jnp.where(is_swap, e1, e2)
+        return d1, e1, n1, d2, e2, n2
+
+    # -- delta evaluation ---------------------------------------------------
+
+    def windowed_deltas(a_pad, d1, n1, d2, n2, e1, e2, dj, d_excl, use_excl):
+        """(hard_delta, s1_delta) over windows containing day ``dj``.
+
+        Slices the 27-day region [dj-13, dj+13] (global, via the padded
+        assignment), applies BOTH point changes that fall inside it, and
+        sums per-window value differences over starts w in [dj-K+1, dj] for
+        K = 2 (H2), 9 (H3), 14 (H4), 7 (S1).  With ``use_excl``, starts in
+        [d_excl-K+1, d_excl] are excluded (already counted for that day).
+
+        H4/S1 window counts are tracked only for the <= 4 employees a move
+        can touch ({e1, n1, e2, n2}, first-occurrence weighted so duplicates
+        count once) — every other employee's per-window count is unchanged —
+        so the per-candidate cost is O(R), independent of E.
+        """
+        sl_old = jax.lax.dynamic_slice(a_pad, (dj,), (REG,))  # days dj-13..dj+13
+        iota = jnp.arange(REG, dtype=jnp.int32)
+        sl_new = jnp.where(iota == (d1 - dj + PAD), n1, sl_old)
+        sl_new = jnp.where(iota == (d2 - dj + PAD), n2, sl_new)
+        wk_sl = jax.lax.dynamic_slice(wk_pad, (dj,), (REG,))
+
+        w_all = dj - PAD + jnp.arange(REG, dtype=jnp.int32)  # window starts
+
+        def fam_mask(k):
+            m = (w_all >= dj - k + 1) & (w_all <= dj)
+            m &= (w_all >= 0) & (w_all <= d_days - k)
+            if use_excl:
+                m &= ~((w_all >= d_excl - k + 1) & (w_all <= d_excl))
+            return m.astype(f32)
+
+        def shift(x, k, fill):
+            return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
+
+        # H2 — value at start w: a[w] == a[w+1].
+        def h2_vals(sl):
+            return (sl == shift(sl, 1, -2)).astype(f32)
+
+        # H3 — weekend-pair window: sum of {0,1} x {7,8} equalities.
+        def h3_vals(sl):
+            a0, a1 = sl, shift(sl, 1, -2)
+            a7, a8 = shift(sl, 7, -3), shift(sl, 8, -4)
+            cond = wk_sl & shift(wk_sl, 1, False)
+            eqs = (
+                (a0 == a7).astype(f32) + (a0 == a8) + (a1 == a7) + (a1 == a8)
+            )
+            return jnp.where(cond, eqs, 0.0)
+
+        d_h2 = jnp.sum(fam_mask(2) * (h2_vals(sl_new) - h2_vals(sl_old)))
+        d_h3 = jnp.sum(fam_mask(9) * (h3_vals(sl_new) - h3_vals(sl_old)))
+
+        # H4/S1 — sliding counts of the 4 move employees, dedup-weighted.
+        emps = jnp.stack([e1, n1, e2, n2])  # [4]
+        first = jnp.stack(
+            [
+                jnp.bool_(True),
+                n1 != e1,
+                (e2 != e1) & (e2 != n1),
+                (n2 != e1) & (n2 != n1) & (n2 != e2),
+            ]
+        ).astype(f32)  # first-occurrence weights [4]
+
+        def csum4(sl):
+            ind = (sl[None, :] == emps[:, None]).astype(f32)  # [4, REG]
+            cs = jnp.cumsum(ind, axis=1)
+            return jnp.concatenate([jnp.zeros((4, 1), f32), cs], axis=1)
+
+        cs_old, cs_new = csum4(sl_old), csum4(sl_new)
+
+        def d_fam(k, thresh):
+            def over(cs):
+                c = cs[:, k:] - cs[:, :-k]  # [4, REG+1-k]
+                v = (c > thresh).astype(f32)
+                return jnp.pad(v, ((0, 0), (0, k - 1)))  # [4, REG]
+
+            per_emp = over(cs_new) - over(cs_old)  # [4, REG]
+            return jnp.sum(fam_mask(k)[None, :] * first[:, None] * per_emp)
+
+        d_h4 = d_fam(14, 3)
+        d_s1 = d_fam(7, 2)
+        return d_h2 + d_h3 + d_h4, d_s1
+
+    def neighborhood(assign, cur_score, key):
+        moves = sample_moves(key)
+        is_swap, d1, d2, new_emp = moves
+
+        # Base aggregates, once per call (O(D·E), amortized over W).
+        oh = jax.nn.one_hot(assign, n_emp, dtype=f32)  # [D, E]
+        wd_counts = wd_onehot @ oh                     # [5, E]
+        tot = jnp.sum(oh, axis=0)                      # [E]
+        wk = jnp.sum(oh * weekend_f[:, None], axis=0)  # [E]
+        s2_base = s2_of(wd_counts)
+        s34_base = s34_of(tot, wk)
+        a_pad = jnp.concatenate(
+            [
+                jnp.full((PAD,), -1, jnp.int32),
+                assign,
+                jnp.full((PAD,), -1, jnp.int32),
+            ]
+        )
+
+        # Per-move day lookups as one-hot contractions over the day axis —
+        # vectorized over all W moves at once, no random gathers on device.
+        iota_d = jnp.arange(d_days, dtype=jnp.int32)[None, :]
+        at_d1 = (iota_d == d1[:, None]).astype(f32)  # [W, D]
+        at_d2 = (iota_d == d2[:, None]).astype(f32)
+        lookup = lambda at, tbl: jnp.sum(at * tbl[None, :], axis=1)
+        e1 = lookup(at_d1, assign.astype(f32)).astype(jnp.int32)  # [W]
+        e2 = lookup(at_d2, assign.astype(f32)).astype(jnp.int32)
+        n1 = jnp.where(is_swap, e2, new_emp)
+        n2 = jnp.where(is_swap, e1, e2)  # identity for ChangeDay
+        hol1 = at_d1 @ holiday_de  # [W, E]
+        hol2 = at_d2 @ holiday_de
+        wd1 = lookup(at_d1, weekday.astype(f32)).astype(jnp.int32)
+        wd2 = lookup(at_d2, weekday.astype(f32)).astype(jnp.int32)
+        wk1 = lookup(at_d1, weekend_f)
+        wk2 = lookup(at_d2, weekend_f)
+
+        def delta_one(d1, n1, d2, n2, e1, e2, hol1, hol2, wd1, wd2, wk1, wk2):
+            oh1 = jax.nn.one_hot(n1, n_emp, dtype=f32) - jax.nn.one_hot(
+                e1, n_emp, dtype=f32
+            )
+            oh2 = jax.nn.one_hot(n2, n_emp, dtype=f32) - jax.nn.one_hot(
+                e2, n_emp, dtype=f32
+            )
+
+            # Windowed families (H2/H3/H4, S1) around each changed day.
+            dh_a, ds1_a = windowed_deltas(
+                a_pad, d1, n1, d2, n2, e1, e2, d1, d2, False
+            )
+            dh_b, ds1_b = windowed_deltas(
+                a_pad, d1, n1, d2, n2, e1, e2, d2, d1, True
+            )
+
+            # H1 — holiday rows of the changed days.
+            d_h1 = jnp.sum(hol1 * oh1) + jnp.sum(hol2 * oh2)
+
+            # S2 — +-1 updates to the [5, E] weekday counts.
+            upd = (
+                wd_counts
+                + jax.nn.one_hot(wd1, 5, dtype=f32)[:, None] * oh1[None, :]
+                + jax.nn.one_hot(wd2, 5, dtype=f32)[:, None] * oh2[None, :]
+            )
+            d_s2 = s2_of(upd) - s2_base
+
+            # S3/S4 — +-1 updates to totals and weekend totals.
+            tot_new = tot + oh1 + oh2
+            wk_new = wk + wk1 * oh1 + wk2 * oh2
+            d_s34 = s34_of(tot_new, wk_new) - s34_base
+
+            return d_h1 + dh_a + dh_b, ds1_a + ds1_b + d_s2 + d_s34
+
+        d_hard, d_soft = jax.vmap(delta_one)(
+            d1, n1, d2, n2, e1, e2, hol1, hol2, wd1, wd2, wk1, wk2
+        )
+        scores = cur_score[None, :] + jnp.stack([d_hard, d_soft], axis=1)
+        valid = jnp.ones((w_size,), bool)
+        return Neighborhood(scores=scores, moves=moves, valid=valid)
+
+    def materialize(assign, moves):
+        """Candidate states [W, D] for the rescore A/B path — scatter-free
+        mask writes, one row per move."""
+        is_swap, d1, d2, new_emp = moves
+        iota = jnp.arange(d_days, dtype=jnp.int32)[None, :]
+        at_d1 = iota == d1[:, None]
+        at_d2 = iota == d2[:, None]
+        a1 = jnp.sum(jnp.where(at_d1, assign[None, :], 0), axis=1, keepdims=True)
+        a2 = jnp.sum(jnp.where(at_d2, assign[None, :], 0), axis=1, keepdims=True)
+        chg = jnp.where(at_d1, new_emp[:, None], assign[None, :])
+        swp = jnp.where(at_d1, a2, jnp.where(at_d2, a1, assign[None, :]))
+        return jnp.where(is_swap[:, None], swp, chg)  # [W, D]
+
+    def neighborhood_rescore(assign, _cur_score, key):
+        """Round-1 path: identical move sampling, O(D·E) full rescore per
+        candidate.  Kept for the measured delta-vs-rescore A/B
+        (BENCH_NOTES.md) and as a property-test oracle."""
+        moves = sample_moves(key)
+        cands = materialize(assign, moves)
+        scores = jax.vmap(score)(cands)  # [W, 2]
+        valid = jnp.ones((w_size,), bool)
+        return Neighborhood(scores=scores, moves=moves, valid=valid)
+
+    def move_fp(assign, cur_fp, moves, idx):
+        move = jax.tree.map(lambda a: a[idx], moves)
+        d1, e1, n1, d2, e2, n2 = resolve_move(assign, move)
+        fp = fp_update(cur_fp, d1, e1.astype(jnp.uint32), n1.astype(jnp.uint32))
+        return fp_update(fp, d2, e2.astype(jnp.uint32), n2.astype(jnp.uint32))
+
+    def apply_move(assign, moves, idx):
+        move = jax.tree.map(lambda a: a[idx], moves)
+        d1, _e1, n1, d2, _e2, n2 = resolve_move(assign, move)
+        iota = jnp.arange(d_days, dtype=jnp.int32)
+        return jnp.where(iota == d1, n1, jnp.where(iota == d2, n2, assign))
+
+    # -- systematic proposer (full-state moves) -----------------------------
 
     def neighborhood_systematic(assign, _cur_score, _key):
         # Every day rotated through its E-1 successor employees.
@@ -216,36 +474,40 @@ def make_scheduling_problem(
         valid = jnp.ones((cands.shape[0],), bool)
         return Neighborhood(scores=scores, moves=cands, valid=valid)
 
-    def neighborhood(assign, _cur_score, key):
-        k_type, k_d1, k_off, k_emp = jax.random.split(key, 4)
-        # Move types ~ {ChangeDay: 1, SwapDays: 4} (ref lib.rs:435).
-        is_swap = jax.random.uniform(k_type, (w_size,)) < 0.8
-        d1 = jax.random.randint(k_d1, (w_size,), 0, d_days, jnp.int32)
-        # Second swap day: d1 + U[1, D) mod D => uniform over distinct pairs
-        # (ref choose_multiple(2), lib.rs:472-477).
-        off = jax.random.randint(k_off, (w_size,), 1, d_days, jnp.int32)
-        d2 = (d1 + off) % d_days
-        new_emp = jax.random.randint(k_emp, (w_size,), 0, n_emp, jnp.int32)
-
-        # Scatter/gather-free candidate materialization: [W, D] via masks.
-        iota = jnp.arange(d_days, dtype=jnp.int32)[None, :]
-        at_d1 = iota == d1[:, None]
-        at_d2 = iota == d2[:, None]
-        a1 = jnp.sum(jnp.where(at_d1, assign[None, :], 0), axis=1, keepdims=True)
-        a2 = jnp.sum(jnp.where(at_d2, assign[None, :], 0), axis=1, keepdims=True)
-        chg = jnp.where(at_d1, new_emp[:, None], assign[None, :])
-        swp = jnp.where(at_d1, a2, jnp.where(at_d2, a1, assign[None, :]))
-        cands = jnp.where(is_swap[:, None], swp, chg)  # [W, D]
-        scores = jax.vmap(score)(cands)                    # [W, 2]
-        valid = jnp.ones((w_size,), bool)
-        return Neighborhood(scores=scores, moves=cands, valid=valid)
-
-    def move_fp(_assign, _cur_fp, moves, idx):
+    def move_fp_states(_assign, _cur_fp, moves, idx):
         return fingerprint_i32(moves[idx])
 
-    def apply_move(assign, moves, idx):
+    def apply_move_states(_assign, moves, idx):
         return moves[idx]
 
+    if proposer == "systematic":
+        nbr_fn, fp_fn, apply_fn = (
+            neighborhood_systematic,
+            move_fp_states,
+            apply_move_states,
+        )
+        width = d_days * (n_emp - 1)
+    else:
+        assert proposer in ("random", "rescore"), proposer
+        nbr_fn = neighborhood if proposer == "random" else neighborhood_rescore
+        fp_fn, apply_fn = move_fp, apply_move
+        width = w_size
+
+    return Problem(
+        name=f"scheduling-{d_days}d-{n_emp}e",
+        init=init,
+        score=score,
+        is_best=is_best,
+        fingerprint=fingerprint,
+        neighborhood=nbr_fn,
+        move_fp=fp_fn,
+        apply_move=apply_fn,
+        perturb=_make_perturb(d_days, n_emp),
+        width=width,
+    )
+
+
+def _make_perturb(d_days: int, n_emp: int):
     def perturb(assign, is_elite, key):
         # {ChangeDaysSubsetRandomly: 100, DoNothing: 10} (ref :572-579);
         # k ~ U[1, D/20] near elites else U[1, D/2] (ref :600-603).
@@ -259,17 +521,4 @@ def make_scheduling_problem(
         new_emp = jax.random.randint(k_emp, (d_days,), 0, n_emp, jnp.int32)
         return jnp.where(do_change & alter, new_emp, assign)
 
-    return Problem(
-        name=f"scheduling-{d_days}d-{n_emp}e",
-        init=init,
-        score=score,
-        is_best=is_best,
-        fingerprint=fingerprint,
-        neighborhood=(
-            neighborhood if proposer == "random" else neighborhood_systematic
-        ),
-        move_fp=move_fp,
-        apply_move=apply_move,
-        perturb=perturb,
-        width=(w_size if proposer == "random" else d_days * (n_emp - 1)),
-    )
+    return perturb

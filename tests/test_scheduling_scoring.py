@@ -136,10 +136,13 @@ def test_neighborhood_scores_match_oracle():
     assign = jnp.asarray(rng.integers(0, 7, size=31), jnp.int32)
     nb = problem.neighborhood(assign, problem.score(assign), jax.random.key(2))
     for i in range(16):
-        cand = list(np.asarray(nb.moves[i]))
+        # Moves are compact (is_swap, d1, d2, new_emp) tuples; materialize
+        # candidate i via apply_move, then oracle-check its delta score.
+        cand_state = problem.apply_move(assign, nb.moves, jnp.int32(i))
+        cand = list(np.asarray(cand_state))
         want = oracle_score(start, cand, {})
         got = np.asarray(nb.scores[i])
         assert (got[0], got[1]) == want
         # Moves must be ChangeDay (1 day differs) or SwapDays (2 days swap).
-        diff = np.flatnonzero(np.asarray(nb.moves[i]) != np.asarray(assign))
+        diff = np.flatnonzero(np.asarray(cand_state) != np.asarray(assign))
         assert len(diff) <= 2
