@@ -76,15 +76,29 @@ def population_init(
 
 
 def exchange_elites(
-    states: IlsState, k_exchange: int, cull_frac: float = 0.0
+    states: IlsState,
+    k_exchange: int,
+    cull_frac: float = 0.0,
+    axis: str | None = None,
 ) -> IlsState:
     """Insert the global top-k elite solutions into every lane's archive;
     optionally CULL the worst ``cull_frac`` of lanes by resetting their
     current solution to their (post-exchange) archive best — the periodic
-    portfolio culling of BASELINE.json's north star."""
+    portfolio culling of BASELINE.json's north star.
+
+    With ``axis``, the call runs inside a ``shard_map`` over that mesh axis:
+    lane bests are ``all_gather``ed over it (ICI on a pod) so the top-k and
+    cull ranks are GLOBAL across every shard's lanes, while inserts/culls
+    apply to the local lanes — the cross-device elite exchange of
+    SURVEY.md §2.5."""
     scores, fps, bests = jax.vmap(lambda e: e.get_best())(states.elite)
     leaves, treedef = jax.tree.flatten(bests)
-    top = lex_top_k(scores, k_exchange, fps, *leaves)
+    if axis is not None:
+        g = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
+        g_scores, g_fps, g_leaves = g(scores), g(fps), [g(l) for l in leaves]
+    else:
+        g_scores, g_fps, g_leaves = scores, fps, leaves
+    top = lex_top_k(g_scores, k_exchange, g_fps, *g_leaves)
     top_scores, top_fps = top[0], top[1]
     top_states = jax.tree.unflatten(treedef, list(top[2:]))
 
@@ -101,7 +115,19 @@ def exchange_elites(
     states = states._replace(elite=jax.vmap(insert_all)(states.elite))
 
     if cull_frac > 0.0:
-        p = states.current_score.shape[0]
+        p_local = states.current_score.shape[0]
+        cur_hard = states.current_score[:, 0]
+        if axis is not None:
+            # Global ranks: every shard ranks the gathered hard scores
+            # identically, then slices out its own lanes' ranks.
+            g_hard = jax.lax.all_gather(cur_hard, axis, axis=0, tiled=True)
+            p = g_hard.shape[0]
+            ranks = jnp.argsort(jnp.argsort(g_hard))
+            shard = jax.lax.axis_index(axis)
+            rank = jax.lax.dynamic_slice(ranks, (shard * p_local,), (p_local,))
+        else:
+            p = p_local
+            rank = jnp.argsort(jnp.argsort(cur_hard))
         n_cull = int(p * cull_frac)
         if n_cull > 0:
             # Worst lanes by current hard score restart from their archive
@@ -109,8 +135,6 @@ def exchange_elites(
             # argsort) so score TIES cull exactly n_cull lanes — a >=
             # threshold test would reset every tied lane and collapse the
             # portfolio onto identical elites.
-            cur_hard = states.current_score[:, 0]
-            rank = jnp.argsort(jnp.argsort(cur_hard))
             cull = rank >= p - n_cull
             b_score, b_fp, b_state = jax.vmap(lambda e: e.get_best())(
                 states.elite

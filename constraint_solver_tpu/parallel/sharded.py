@@ -11,43 +11,52 @@ out path the TPU design replaces it with.  One SPMD program over a
   (ICI) rebuilds a small global candidate list for the engine's
   pick-then-check selection;
 - trajectory state is replicated across ``nbr`` and stays consistent because
-  every shard runs the identical deterministic update.
+  every shard runs the identical deterministic update;
+- once per chunk, lanes exchange elites ACROSS the ``pop`` axis: lane bests
+  are all_gathered, the global lexicographic top-k is broadcast-inserted
+  into every lane's archive, and (optionally) the globally-worst lanes are
+  culled to their archive best — the same semantics as the 1D
+  ``PopulationSolver`` (parallel/population.py exchange_elites), realized
+  with explicit collectives inside the shard_map.
 
 Built as ``shard_map(vmap(ils_round))`` — the engine and problem code are
 unchanged except for the neighborhood's collective, which the problem
-factory takes as ``nbr_axis``.
+factory takes as ``nbr_axis``.  The driver API (run / is_finished /
+get_iteration_info / get_best_solution / stats / save / load /
+reseed_from_elites) is inherited from ``PopulationSolver``.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from constraint_solver_tpu.core.ils import (
-    IlsState,
-    SolverConfig,
-    ils_round,
-)
+from constraint_solver_tpu.core.ils import IlsState, SolverConfig, ils_round
 from constraint_solver_tpu.core.problem import Problem
-from constraint_solver_tpu.ops.lex import lex_argmin
-from constraint_solver_tpu.parallel.population import population_init
-from constraint_solver_tpu.utils.seeding import seed_string_to_key
-
-from functools import lru_cache
+from constraint_solver_tpu.parallel.population import (
+    PopulationSolver,
+    exchange_elites,
+)
 
 
 @lru_cache(maxsize=64)
-def _sharded_chunk_program(problem: Problem, ls_params, ils_params, mesh):
+def _sharded_chunk_program(
+    problem: Problem, ls_params, ils_params, k_exchange: int,
+    cull_frac: float, mesh,
+):
     """Jitted sharded-chunk program, shared across solver instances (same
-    no-recompile contract as parallel/population.py's program caches)."""
+    no-recompile contract as parallel/population.py's program caches):
+    ``n`` vmapped ILS rounds per shard, then one collective elite exchange
+    over the ``pop`` axis."""
     round_fn = jax.vmap(partial(ils_round, problem, ls_params, ils_params))
 
     def shard_body(st: IlsState, n: int) -> IlsState:
-        return jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
+        st = jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
+        if k_exchange > 0:
+            st = exchange_elites(st, k_exchange, cull_frac, axis="pop")
+        return st
 
     def run_chunk(st: IlsState, n: int) -> IlsState:
         return jax.shard_map(
@@ -61,11 +70,12 @@ def _sharded_chunk_program(problem: Problem, ls_params, ils_params, mesh):
     return jax.jit(run_chunk, static_argnums=1)
 
 
-class ShardedPopulationSolver:
-    """PopulationSolver over a 2D mesh: lanes split over ``pop``, each
+class ShardedPopulationSolver(PopulationSolver):
+    """``PopulationSolver`` over a 2D mesh: lanes split over ``pop``, each
     lane's neighborhood split over ``nbr``.  ``problem`` must have been
     built with ``nbr_axis="nbr"`` so its neighborhood performs the
-    local-top-k + all_gather collective."""
+    local-top-k + all_gather collective.  ``k_exchange=0`` disables the
+    per-chunk elite exchange (used by A/B convergence tests)."""
 
     def __init__(
         self,
@@ -73,42 +83,37 @@ class ShardedPopulationSolver:
         config: SolverConfig,
         population: int,
         mesh,
+        exchange_every: int = 10,
+        k_exchange: int = 4,
+        portfolio: str = "reference",
+        cull_frac: float = 0.0,
     ):
-        self.problem = problem
-        self.config = config
-        self.population = population
-        self.mesh = mesh
-        self.cancelled = False
         n_pop = mesh.shape["pop"]
-        assert population % n_pop == 0, (population, n_pop)
-        jax.set_mesh(mesh)
-
-        key = seed_string_to_key(config.seed)
-        self.state = population_init(problem, config, population, key)
-
+        if population % n_pop != 0:
+            raise ValueError(
+                f"population {population} must divide over the pop axis "
+                f"({n_pop} shards)"
+            )
+        super().__init__(
+            problem,
+            config,
+            population,
+            exchange_every=exchange_every,
+            k_exchange=k_exchange,
+            mesh=mesh,
+            portfolio=portfolio,
+            cull_frac=cull_frac,
+        )
+        # Replace the 1D chunk program with the explicit-collective one;
+        # every other jitted program (probe, best_score, global_best, init)
+        # is sharding-agnostic and inherited as-is.
         self._chunk_jit = _sharded_chunk_program(
-            problem, config.ls_params(), config.ils_params(), mesh
+            problem, config.ls_params(), config.ils_params(),
+            k_exchange, cull_frac, mesh,
         )
 
-    def run(self, max_rounds: int, chunk: int = 2) -> None:
-        done = 0
-        while done < max_rounds and not self.cancelled:
-            n = min(chunk, max_rounds - done)
-            self.state = self._chunk_jit(self.state, n)
-            done += n
-
-    def get_best_solution(self):
-        scores, _, bests = jax.vmap(lambda e: e.get_best())(self.state.elite)
-        scores = np.asarray(jax.device_get(scores))
-        lane = int(lex_argmin(jnp.asarray(scores)))
-        state = jax.tree.map(lambda a: np.asarray(jax.device_get(a))[lane], bests)
-        return (float(scores[lane][0]), float(scores[lane][1])), state
-
-    def stats(self) -> dict:
-        return {
-            "rounds": int(np.asarray(jax.device_get(self.state.round))[0]),
-            "population": self.population,
-            "ls_iterations": int(
-                np.sum(np.asarray(jax.device_get(self.state.ls_iters_total)))
-            ),
-        }
+    def execute_round(self) -> None:
+        # The inherited single-round program can't bind the ``nbr``
+        # collective outside shard_map; a 1-round chunk (with its exchange)
+        # is the per-tick step here.
+        self.state = self._chunk_jit(self.state, 1)
