@@ -58,6 +58,30 @@ def measure_baseline() -> float:
         return FALLBACK_BASELINE
 
 
+SCHED_FALLBACK_BASELINE = 4295.0  # measured 2026-08-19 on this host (see bench/)
+
+
+def measure_scheduling_baseline(days: int, emps: int) -> float:
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench", "baseline_scheduling.cc")
+    exe = "/tmp/baseline_scheduling"
+    try:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-o", exe, src],
+                check=True, capture_output=True, timeout=120,
+            )
+        out = subprocess.run(
+            [exe, str(days), str(emps), "4"],
+            check=True, capture_output=True, timeout=60,
+        )
+        return float(out.stdout.strip())
+    except Exception as e:  # noqa: BLE001
+        log(f"scheduling baseline failed ({e}); using recorded "
+            f"{SCHED_FALLBACK_BASELINE}")
+        return SCHED_FALLBACK_BASELINE
+
+
 def main() -> None:
     baseline = measure_baseline()
     log(f"reference-style CPU baseline: {baseline:.0f} moves/s")
@@ -120,6 +144,61 @@ def main() -> None:
         f"steps={int(out.steps)} time-to-zero={pmc_ttz:.2f}s"
     )
 
+    # --- extra: employee-scheduling 365d x 20e (the second north-star
+    # domain, BASELINE.json) — dense-block delta scoring, time-to-hard-zero
+    # + moves/s vs the reference-style C++ scheduling baseline. -----------
+    sched_extras = {}
+    try:
+        import datetime
+
+        from constraint_solver_tpu.models.scheduling import (
+            ScheduleSpec,
+            make_scheduling_problem,
+        )
+
+        s_days, s_emps, s_pop = 365, 20, 64
+        sched_baseline = measure_scheduling_baseline(s_days, s_emps)
+        log(f"reference-style scheduling baseline: {sched_baseline:.0f} moves/s")
+        d0 = datetime.date(2024, 1, 1)
+        spec = ScheduleSpec.from_dates(
+            d0, d0 + datetime.timedelta(days=s_days - 1), s_emps,
+            {e: [d0 + datetime.timedelta(days=(17 * e + 11 * k) % s_days)
+                 for k in range(10)] for e in range(s_emps)},
+        )
+        sched_p = make_scheduling_problem(spec, proposer="dense")
+        sched_cfg = SolverConfig(
+            seed="bench",
+            local_search_max_iterations=200,
+            best_solutions_capacity=16,
+            all_solutions_capacity=256,
+            all_solution_iteration_expiry=1_000,
+            iterated_local_search_max_iterations=10_000,
+            max_allow_no_improvement_for=20,
+        )
+        sp = PopulationSolver(sched_p, sched_cfg, population=s_pop)
+        sp.run(max_rounds=2, chunk=2)  # compile warm-up
+        sp = PopulationSolver(sched_p, sched_cfg, population=s_pop)
+        t0 = time.time()
+        sp.run(max_rounds=40, chunk=2)  # stops early at (hard, soft) == 0
+        s_wall = time.time() - t0
+        (s_hard, s_soft), _ = sp.get_best_solution()
+        s_moves = sp.stats()["moves_evaluated"]
+        s_tput = s_moves / s_wall
+        log(
+            f"scheduling-{s_days}d-{s_emps}e (P={s_pop}): best=({s_hard}, "
+            f"{s_soft}) in {s_wall:.2f}s, {s_tput:.3g} moves/s "
+            f"({s_tput / sched_baseline:.0f}x baseline)"
+        )
+        sched_extras = {
+            "scheduling365_moves_per_sec": round(s_tput),
+            "scheduling365_best_hard": s_hard,
+            "scheduling365_best_soft": s_soft,
+            "scheduling365_wall_s": round(s_wall, 2),
+            "scheduling365_vs_baseline": round(s_tput / sched_baseline, 1),
+        }
+    except Exception as e:  # noqa: BLE001
+        log(f"scheduling extra failed: {e}")
+
     print(
         json.dumps(
             {
@@ -127,6 +206,7 @@ def main() -> None:
                 "value": round(throughput),
                 "unit": "moves/s",
                 "vs_baseline": round(throughput / baseline, 1),
+                **sched_extras,
             }
         )
     )

@@ -82,24 +82,57 @@ def main():
         max_allow_no_improvement_for=20,
     )
 
+    dense_p = make_scheduling_problem(spec, proposer="dense")
+    w_n, m_n, s_n = solve(
+        dense_p, config, POP, ROUNDS, f"sched-{DAYS}d-{EMPS}e-dense"
+    )
+
+    # Roofline: XLA-accounted flops/bytes of the dense chunk program.
+    try:
+        from constraint_solver_tpu.utils.roofline import (
+            cost_analysis,
+            format_roofline,
+            roofline,
+        )
+
+        import jax as _jax
+
+        solver = PopulationSolver(dense_p, config, population=POP)
+        jitted = _jax.jit(lambda st: solver._chunk_jit(st, 2))
+        ca = cost_analysis(jitted, solver.state)
+        t0 = time.time()
+        st = jitted(solver.state)
+        _jax.block_until_ready(st)
+        t0 = time.time()
+        st = jitted(st)
+        _jax.block_until_ready(st)
+        wall = time.time() - t0
+        print(
+            f"dense chunk roofline: {format_roofline(roofline(ca['flops'], ca['bytes'], 1, wall))}",
+            flush=True,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"roofline skipped: {e}", flush=True)
+
     delta_p = make_scheduling_problem(spec, window_size=100, proposer="random")
+    d_rounds = max(4, ROUNDS // 10)
     w_d, m_d, s_d = solve(
-        delta_p, config, POP, ROUNDS, f"sched-{DAYS}d-{EMPS}e-delta"
+        delta_p, config, POP, d_rounds, f"sched-{DAYS}d-{EMPS}e-delta"
     )
 
     resc_p = make_scheduling_problem(spec, window_size=100, proposer="rescore")
-    # Fewer rounds for the slow path; per-move cost is what matters.
-    r_rounds = max(4, ROUNDS // 10)
     w_r, m_r, s_r = solve(
-        resc_p, config, POP, r_rounds, f"sched-{DAYS}d-{EMPS}e-rescore"
+        resc_p, config, POP, d_rounds, f"sched-{DAYS}d-{EMPS}e-rescore"
     )
 
+    per_move_n = w_n / max(m_n, 1)
     per_move_d = w_d / max(m_d, 1)
     per_move_r = w_r / max(m_r, 1)
     print(
-        f"A/B delta vs rescore ({DAYS}d x {EMPS}e): "
-        f"{1e9 * per_move_d:.1f} ns/move vs {1e9 * per_move_r:.1f} ns/move "
-        f"= {per_move_r / per_move_d:.1f}x",
+        f"A/B dense vs sliced-delta vs rescore ({DAYS}d x {EMPS}e): "
+        f"{1e9 * per_move_n:.1f} / {1e9 * per_move_d:.1f} / "
+        f"{1e9 * per_move_r:.1f} ns/move "
+        f"(dense = {per_move_r / per_move_n:.0f}x rescore)",
         flush=True,
     )
 

@@ -70,6 +70,94 @@ PAD = 13
 REG = 2 * PAD + 1  # 27
 
 
+def region_deltas(
+    sl_old, wk_sl, d1, n1, d2, n2, e1, e2, dj, d_excl, use_excl, d_days
+):
+    """(hard_delta, s1_delta) over windows containing day ``dj``.
+
+    ``sl_old``/``wk_sl`` are the 27-day assignment/weekend slices covering
+    global days [dj-13, dj+13] (out-of-range days filled with employee -1 /
+    weekend False).  Both point changes that fall inside the region are
+    applied, and per-window value differences are summed over starts
+    w in [dj-K+1, dj] for K = 2 (H2), 9 (H3), 14 (H4), 7 (S1).  With
+    ``use_excl``, starts in [d_excl-K+1, d_excl] are excluded (already
+    counted for that day).
+
+    H4/S1 window counts are tracked only for the <= 4 employees a move can
+    touch ({e1, n1, e2, n2}, first-occurrence weighted so duplicates count
+    once) — every other employee's per-window count is unchanged — so the
+    per-candidate cost is O(R), independent of E.
+
+    Module-level so the date-sharded solver (parallel/seq_solver.py) reuses
+    the exact same float operations — trajectory equality with the dense
+    solver requires bit-identical candidate scores.
+    """
+    f32 = jnp.float32
+    iota = jnp.arange(REG, dtype=jnp.int32)
+    sl_new = jnp.where(iota == (d1 - dj + PAD), n1, sl_old)
+    sl_new = jnp.where(iota == (d2 - dj + PAD), n2, sl_new)
+
+    w_all = dj - PAD + jnp.arange(REG, dtype=jnp.int32)  # window starts
+
+    def fam_mask(k):
+        m = (w_all >= dj - k + 1) & (w_all <= dj)
+        m &= (w_all >= 0) & (w_all <= d_days - k)
+        if use_excl:
+            m &= ~((w_all >= d_excl - k + 1) & (w_all <= d_excl))
+        return m.astype(f32)
+
+    def shift(x, k, fill):
+        return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
+
+    # H2 — value at start w: a[w] == a[w+1].
+    def h2_vals(sl):
+        return (sl == shift(sl, 1, -2)).astype(f32)
+
+    # H3 — weekend-pair window: sum of {0,1} x {7,8} equalities.
+    def h3_vals(sl):
+        a0, a1 = sl, shift(sl, 1, -2)
+        a7, a8 = shift(sl, 7, -3), shift(sl, 8, -4)
+        cond = wk_sl & shift(wk_sl, 1, False)
+        eqs = (
+            (a0 == a7).astype(f32) + (a0 == a8) + (a1 == a7) + (a1 == a8)
+        )
+        return jnp.where(cond, eqs, 0.0)
+
+    d_h2 = jnp.sum(fam_mask(2) * (h2_vals(sl_new) - h2_vals(sl_old)))
+    d_h3 = jnp.sum(fam_mask(9) * (h3_vals(sl_new) - h3_vals(sl_old)))
+
+    # H4/S1 — sliding counts of the 4 move employees, dedup-weighted.
+    emps = jnp.stack([e1, n1, e2, n2])  # [4]
+    first = jnp.stack(
+        [
+            jnp.bool_(True),
+            n1 != e1,
+            (e2 != e1) & (e2 != n1),
+            (n2 != e1) & (n2 != n1) & (n2 != e2),
+        ]
+    ).astype(f32)  # first-occurrence weights [4]
+
+    def csum4(sl):
+        ind = (sl[None, :] == emps[:, None]).astype(f32)  # [4, REG]
+        cs = jnp.cumsum(ind, axis=1)
+        return jnp.concatenate([jnp.zeros((4, 1), f32), cs], axis=1)
+
+    cs_old, cs_new = csum4(sl_old), csum4(sl_new)
+
+    def d_fam(k, thresh):
+        def over(cs):
+            c = cs[:, k:] - cs[:, :-k]  # [4, REG+1-k]
+            v = (c > thresh).astype(f32)
+            return jnp.pad(v, ((0, 0), (0, k - 1)))  # [4, REG]
+
+        per_emp = over(cs_new) - over(cs_old)  # [4, REG]
+        return jnp.sum(fam_mask(k)[None, :] * first[:, None] * per_emp)
+
+    d_h4 = d_fam(14, 3)
+    d_s1 = d_fam(7, 2)
+    return d_h2 + d_h3 + d_h4, d_s1
+
+
 @dataclasses.dataclass(frozen=True)
 class ScheduleSpec:
     """Static problem data: day count, employee count, calendar layout, and
@@ -116,17 +204,32 @@ class ScheduleSpec:
 
 @lru_cache(maxsize=32)
 def make_scheduling_problem(
-    spec: ScheduleSpec, window_size: int = 100, proposer: str = "random"
+    spec: ScheduleSpec,
+    window_size: int = 100,
+    proposer: str = "dense",
+    n_swap_offsets: int = 4,
 ) -> Problem:
     """``proposer``:
 
-    - "random" (default): the reference's used proposer — an infinite random
-      ChangeDay/SwapDays stream truncated to ``window_size``
-      (ref ScheduleRandomMoveProposer, lib.rs:428-491), candidate scores by
-      exact O(R·E) delta evaluation;
-    - "rescore": identical move sampling, candidates scored by the O(D·E)
-      full-rescore batch (the round-1 path, kept for the delta-vs-rescore
-      A/B — same trajectories, different cost);
+    - "dense" (default, the TPU-first neighborhood): every ChangeDay move
+      (all D days x all E employees) delta-scored as ONE dense [D, E] block
+      of shifted full-axis tensor ops — no per-candidate slicing, no
+      gathers — plus ``n_swap_offsets`` dense SwapDays diagonals (all days
+      swapped with the day ``delta`` later, ``delta`` ~ U[14, D) sampled per
+      call).  Divergence from the reference's 100-random-move window
+      (ref lib.rs:428-491): the engine argmins over this much wider
+      neighborhood, the same documented divergence as the nqueens A x n
+      block, and swap partners are >= 14 days apart so swap deltas decompose
+      into two window-disjoint ChangeDay deltas (closer pairs are reachable
+      as two ChangeDay steps).  Exactness is proven against the full
+      rescore in tests/test_scheduling_dense.py;
+    - "random": the reference's used proposer — ``window_size`` random
+      ChangeDay/SwapDays samples (ref ScheduleRandomMoveProposer,
+      lib.rs:428-491), candidate scores by exact O(R·E) per-candidate delta
+      evaluation (27-day regions around the changed days);
+    - "rescore": identical sampling to "random", candidates scored by the
+      O(D·E) full-rescore batch (the round-1 path, kept for the measured
+      delta-vs-rescore A/B — bit-identical trajectories to "random");
     - "systematic": the reference's deterministic rotate-each-day-through-
       all-successor-employees neighborhood (ref ScheduleMoveProposer,
       lib.rs:493-559 — constructed but commented out at lib.rs:59-60);
@@ -155,11 +258,20 @@ def make_scheduling_problem(
     # -- aggregate-level soft scores (shared by full and delta paths) ------
 
     def s2_of(wd_counts: jax.Array) -> jax.Array:
-        """S2 from a [5, E] weekday x employee count matrix (ref :194-218)."""
+        """S2 from a [..., 5, E] weekday x employee count matrix
+        (ref :194-218); batched over any leading axes."""
         wd_present = wd_counts > 0
-        n_present = jnp.sum(wd_present, axis=1)
-        min_present = jnp.min(jnp.where(wd_present, wd_counts, jnp.inf), axis=1)
-        return jnp.sum(jnp.where(n_present > 1, min_present, 0.0))
+        n_present = jnp.sum(wd_present, axis=-1)
+        min_present = jnp.min(
+            jnp.where(wd_present, wd_counts, jnp.inf), axis=-1
+        )
+        return jnp.sum(jnp.where(n_present > 1, min_present, 0.0), axis=-1)
+
+    def spread_of(v: jax.Array, present: jax.Array, n_pres: jax.Array):
+        """Max-min spread of ``v`` [..., E] over a fixed present mask [E]."""
+        mx = jnp.max(jnp.where(present, v, -jnp.inf), axis=-1)
+        mn = jnp.min(jnp.where(present, v, jnp.inf), axis=-1)
+        return jnp.where(n_pres >= 2, mx - mn, 0.0)
 
     def s34_of(tot: jax.Array, wk: jax.Array) -> jax.Array:
         """S3 + S4 spreads; 'present' = employees with >= 1 total day for
@@ -267,84 +379,14 @@ def make_scheduling_problem(
     # -- delta evaluation ---------------------------------------------------
 
     def windowed_deltas(a_pad, d1, n1, d2, n2, e1, e2, dj, d_excl, use_excl):
-        """(hard_delta, s1_delta) over windows containing day ``dj``.
-
-        Slices the 27-day region [dj-13, dj+13] (global, via the padded
-        assignment), applies BOTH point changes that fall inside it, and
-        sums per-window value differences over starts w in [dj-K+1, dj] for
-        K = 2 (H2), 9 (H3), 14 (H4), 7 (S1).  With ``use_excl``, starts in
-        [d_excl-K+1, d_excl] are excluded (already counted for that day).
-
-        H4/S1 window counts are tracked only for the <= 4 employees a move
-        can touch ({e1, n1, e2, n2}, first-occurrence weighted so duplicates
-        count once) — every other employee's per-window count is unchanged —
-        so the per-candidate cost is O(R), independent of E.
-        """
+        """Region deltas around day ``dj``: slices the padded assignment and
+        weekend tables and delegates to the module-level ``region_deltas``
+        (shared with the date-sharded solver, parallel/seq_solver.py)."""
         sl_old = jax.lax.dynamic_slice(a_pad, (dj,), (REG,))  # days dj-13..dj+13
-        iota = jnp.arange(REG, dtype=jnp.int32)
-        sl_new = jnp.where(iota == (d1 - dj + PAD), n1, sl_old)
-        sl_new = jnp.where(iota == (d2 - dj + PAD), n2, sl_new)
         wk_sl = jax.lax.dynamic_slice(wk_pad, (dj,), (REG,))
-
-        w_all = dj - PAD + jnp.arange(REG, dtype=jnp.int32)  # window starts
-
-        def fam_mask(k):
-            m = (w_all >= dj - k + 1) & (w_all <= dj)
-            m &= (w_all >= 0) & (w_all <= d_days - k)
-            if use_excl:
-                m &= ~((w_all >= d_excl - k + 1) & (w_all <= d_excl))
-            return m.astype(f32)
-
-        def shift(x, k, fill):
-            return jnp.concatenate([x[k:], jnp.full((k,), fill, x.dtype)])
-
-        # H2 — value at start w: a[w] == a[w+1].
-        def h2_vals(sl):
-            return (sl == shift(sl, 1, -2)).astype(f32)
-
-        # H3 — weekend-pair window: sum of {0,1} x {7,8} equalities.
-        def h3_vals(sl):
-            a0, a1 = sl, shift(sl, 1, -2)
-            a7, a8 = shift(sl, 7, -3), shift(sl, 8, -4)
-            cond = wk_sl & shift(wk_sl, 1, False)
-            eqs = (
-                (a0 == a7).astype(f32) + (a0 == a8) + (a1 == a7) + (a1 == a8)
-            )
-            return jnp.where(cond, eqs, 0.0)
-
-        d_h2 = jnp.sum(fam_mask(2) * (h2_vals(sl_new) - h2_vals(sl_old)))
-        d_h3 = jnp.sum(fam_mask(9) * (h3_vals(sl_new) - h3_vals(sl_old)))
-
-        # H4/S1 — sliding counts of the 4 move employees, dedup-weighted.
-        emps = jnp.stack([e1, n1, e2, n2])  # [4]
-        first = jnp.stack(
-            [
-                jnp.bool_(True),
-                n1 != e1,
-                (e2 != e1) & (e2 != n1),
-                (n2 != e1) & (n2 != n1) & (n2 != e2),
-            ]
-        ).astype(f32)  # first-occurrence weights [4]
-
-        def csum4(sl):
-            ind = (sl[None, :] == emps[:, None]).astype(f32)  # [4, REG]
-            cs = jnp.cumsum(ind, axis=1)
-            return jnp.concatenate([jnp.zeros((4, 1), f32), cs], axis=1)
-
-        cs_old, cs_new = csum4(sl_old), csum4(sl_new)
-
-        def d_fam(k, thresh):
-            def over(cs):
-                c = cs[:, k:] - cs[:, :-k]  # [4, REG+1-k]
-                v = (c > thresh).astype(f32)
-                return jnp.pad(v, ((0, 0), (0, k - 1)))  # [4, REG]
-
-            per_emp = over(cs_new) - over(cs_old)  # [4, REG]
-            return jnp.sum(fam_mask(k)[None, :] * first[:, None] * per_emp)
-
-        d_h4 = d_fam(14, 3)
-        d_s1 = d_fam(7, 2)
-        return d_h2 + d_h3 + d_h4, d_s1
+        return region_deltas(
+            sl_old, wk_sl, d1, n1, d2, n2, e1, e2, dj, d_excl, use_excl, d_days
+        )
 
     def neighborhood(assign, cur_score, key):
         moves = sample_moves(key)
@@ -423,6 +465,281 @@ def make_scheduling_problem(
         valid = jnp.ones((w_size,), bool)
         return Neighborhood(scores=scores, moves=moves, valid=valid)
 
+    # -- dense-block neighborhood (the TPU hot path) ------------------------
+
+    n_off = n_swap_offsets if d_days >= 15 else 0
+
+    def _shf(x, k, fill):
+        """y[d] = x[d + k] with out-of-range filled (static k)."""
+        if k == 0:
+            return x
+        if abs(k) >= x.shape[0]:
+            return jnp.full(x.shape, fill, x.dtype)
+        pad = jnp.full((abs(k),) + x.shape[1:], fill, x.dtype)
+        return (
+            jnp.concatenate([x[k:], pad]) if k > 0
+            else jnp.concatenate([pad, x[:k]])
+        )
+
+    def _sliding_sum(x, width):
+        """x: [D-width+1, E] per-window values at starts w; returns [D, E]
+        S[d] = sum of x[w] over windows containing d (w in [d-width+1, d]),
+        as a cumsum difference of two STATIC slices — no gathers."""
+        z = jnp.zeros((width - 1, x.shape[1]), x.dtype)
+        xp = jnp.concatenate([z, x, z])  # [D + width - 1, E]
+        cs = jnp.concatenate(
+            [jnp.zeros((1, x.shape[1]), x.dtype), jnp.cumsum(xp, axis=0)]
+        )
+        return cs[width : width + d_days] - cs[:d_days]
+
+    def neighborhood_dense(assign, cur_score, key):
+        """All D x E ChangeDay deltas as one dense block + n_off SwapDays
+        diagonals.  Every constraint family's delta is exact (see module
+        docstring); candidates equal to the current assignment get delta 0.
+        """
+        a = assign
+        oh = jax.nn.one_hot(a, n_emp, dtype=f32)      # [D, E]
+        iota_d = jnp.arange(d_days, dtype=jnp.int32)
+        iota_e = jnp.arange(n_emp, dtype=jnp.int32)
+
+        # ---- H1: holiday row minus the current day's holiday flag.
+        h1_old = jnp.sum(holiday_de * oh, axis=1)     # [D]
+        d_h1 = holiday_de - h1_old[:, None]           # [D, E]
+
+        # ---- H2: the two adjacent pairs of each day.
+        aL, aR = _shf(a, -1, -2), _shf(a, 1, -3)
+        mL = (iota_d >= 1).astype(f32)
+        mR = (iota_d <= d_days - 2).astype(f32)
+        old2 = mL * (aL == a) + mR * (a == aR)        # [D]
+        new2 = (
+            mL[:, None] * (aL[:, None] == iota_e[None, :])
+            + mR[:, None] * (aR[:, None] == iota_e[None, :])
+        )
+        d_h2 = new2 - old2[:, None]                   # [D, E]
+
+        # ---- H3: the four windows where day d sits at position 0/1/7/8.
+        cond = weekend & _shf(weekend, 1, False)      # [D] at window start w
+        pairs = ((0, 7), (0, 8), (1, 7), (1, 8))
+        eq = lambda i, j: (_shf(a, i, -2) == _shf(a, j, -3)).astype(f32)
+        old3 = eq(0, 7) + eq(0, 8) + eq(1, 7) + eq(1, 8)  # [D] at start w
+        d_h3 = jnp.zeros((d_days, n_emp), f32)
+        for p in (0, 1, 7, 8):
+            # window start w = d - p; valid iff 0 <= w <= D-9.
+            m_p = (
+                (iota_d >= p) & (iota_d <= d_days - 9 + p)
+            ).astype(f32) * _shf(cond, -p, False)
+            new_p = jnp.zeros((d_days, n_emp), f32)
+            for (i, j) in pairs:
+                if i == p:
+                    new_p += (
+                        _shf(a, j - p, -2)[:, None] == iota_e[None, :]
+                    ).astype(f32)
+                elif j == p:
+                    new_p += (
+                        _shf(a, i - p, -2)[:, None] == iota_e[None, :]
+                    ).astype(f32)
+                else:
+                    new_p += (
+                        _shf(a, i - p, -2) == _shf(a, j - p, -3)
+                    ).astype(f32)[:, None]
+            d_h3 += m_p[:, None] * (new_p - _shf(old3, -p, 0.0)[:, None])
+
+        # ---- H4 / S1: crossing counters.  +1 on employee e flips a window
+        # iff its count is exactly at the threshold; -1 on the old employee
+        # iff it is one above.  Sliding sums aggregate the flips over the
+        # windows containing each day.
+        csum = jnp.concatenate(
+            [jnp.zeros((1, n_emp), f32), jnp.cumsum(oh, axis=0)], axis=0
+        )
+
+        def crossings(width, thresh):
+            if d_days < width:
+                z = jnp.zeros((d_days, n_emp), f32)
+                return z, z
+            cnt = csum[width:] - csum[:-width]        # [D-width+1, E]
+            sp = _sliding_sum((cnt == thresh).astype(f32), width)
+            sm = _sliding_sum((cnt == thresh + 1).astype(f32), width)
+            return sp, sm                              # both [D, E]
+
+        sp14, sm14 = crossings(14, 3)
+        sp7, sm7 = crossings(7, 2)
+        d_h4 = sp14 - jnp.sum(sm14 * oh, axis=1)[:, None]
+        d_s1 = sp7 - jnp.sum(sm7 * oh, axis=1)[:, None]
+
+        # ---- S2: per-day first/second-minimum trick on the weekday row.
+        iswd = (weekday < 5)
+        wd_oh5 = jax.nn.one_hot(weekday, 5, dtype=f32)  # [D, 5] (0 on weekends)
+        c_base = wd_onehot @ oh                          # [5, E]
+        row_present = c_base > 0
+        row_np = jnp.sum(row_present, axis=1)
+        row_min = jnp.min(jnp.where(row_present, c_base, jnp.inf), axis=1)
+        row_score = jnp.where(row_np > 1, row_min, 0.0)  # [5]
+        s2_base = jnp.sum(row_score)
+        old_rs = wd_oh5 @ row_score                      # [D]
+        big = jnp.float32(1e9)
+        v2 = wd_oh5 @ c_base - oh * iswd[:, None].astype(f32)  # [D, E]
+        p2 = v2 > 0
+        np2 = jnp.sum(p2, axis=1)                        # [D]
+        v2m = jnp.where(p2, v2, big)
+        min1 = jnp.min(v2m, axis=1)
+        arg1 = jnp.argmin(v2m, axis=1)
+        min2 = jnp.min(
+            jnp.where(iota_e[None, :] == arg1[:, None], big, v2m), axis=1
+        )
+        cand2 = v2 + 1.0
+        min_new = jnp.where(
+            iota_e[None, :] == arg1[:, None],
+            jnp.minimum(cand2, min2[:, None]),
+            jnp.minimum(min1[:, None], cand2),
+        )
+        np_new2 = np2[:, None] + (v2 == 0)
+        rs_new = jnp.where(np_new2 > 1, min_new, 0.0)
+        d_s2 = iswd[:, None].astype(f32) * (rs_new - old_rs[:, None])
+
+        # ---- S3/S4: per-day extrema tricks on totals / weekend totals.
+        tot = jnp.sum(oh, axis=0)                        # [E]
+        wk = jnp.sum(oh * weekend_f[:, None], axis=0)    # [E]
+        pres_b = tot > 0
+        np_b = jnp.sum(pres_b)
+        s3_base = spread_of(tot, pres_b, np_b)
+        s4_base = spread_of(wk, pres_b, np_b)
+
+        v3 = tot[None, :] - oh                           # [D, E]
+        p3 = v3 > 0
+        np3 = jnp.sum(p3, axis=1)
+        v3m = jnp.where(p3, v3, big)
+        min1_3 = jnp.min(v3m, axis=1)
+        arg1_3 = jnp.argmin(v3m, axis=1)
+        min2_3 = jnp.min(
+            jnp.where(iota_e[None, :] == arg1_3[:, None], big, v3m), axis=1
+        )
+        max1_3 = jnp.max(jnp.where(p3, v3, -big), axis=1)
+        cand3 = v3 + 1.0
+        min_new3 = jnp.where(
+            iota_e[None, :] == arg1_3[:, None],
+            jnp.minimum(cand3, min2_3[:, None]),
+            jnp.minimum(min1_3[:, None], cand3),
+        )
+        max_new3 = jnp.maximum(max1_3[:, None], cand3)
+        np_new3 = np3[:, None] + (v3 == 0)
+        d_s3 = jnp.where(np_new3 >= 2, max_new3 - min_new3, 0.0) - s3_base
+
+        v4 = wk[None, :] - weekend_f[:, None] * oh       # [D, E]
+        v4m = jnp.where(p3, v4, big)
+        min1_4 = jnp.min(v4m, axis=1)
+        arg1_4 = jnp.argmin(v4m, axis=1)
+        min2_4 = jnp.min(
+            jnp.where(iota_e[None, :] == arg1_4[:, None], big, v4m), axis=1
+        )
+        v4M = jnp.where(p3, v4, -big)
+        max1_4 = jnp.max(v4M, axis=1)
+        argx_4 = jnp.argmax(v4M, axis=1)
+        max2_4 = jnp.max(
+            jnp.where(iota_e[None, :] == argx_4[:, None], -big, v4M), axis=1
+        )
+        cand4 = v4 + weekend_f[:, None]
+        min_new4 = jnp.where(
+            iota_e[None, :] == arg1_4[:, None],
+            jnp.minimum(cand4, min2_4[:, None]),
+            jnp.minimum(min1_4[:, None], cand4),
+        )
+        max_new4 = jnp.where(
+            iota_e[None, :] == argx_4[:, None],
+            jnp.maximum(cand4, max2_4[:, None]),
+            jnp.maximum(max1_4[:, None], cand4),
+        )
+        d_s4 = jnp.where(np_new3 >= 2, max_new4 - min_new4, 0.0) - s4_base
+
+        d_hard = d_h1 + d_h2 + d_h3 + d_h4               # [D, E]
+        d_soft = d_s1 + d_s2 + d_s3 + d_s4
+        # e == a[d] is the identity move: exact delta 0.
+        noop = oh > 0
+        d_hard = jnp.where(noop, 0.0, d_hard)
+        d_soft = jnp.where(noop, 0.0, d_soft)
+
+        # ---- SwapDays diagonals: swap(d, d+delta), delta ~ U[14, D).
+        # Window-disjoint (delta >= 14), so windowed deltas decompose into
+        # the two ChangeDay deltas above; S2/S4 are re-derived coupled
+        # (S3 is zero: totals are permutation-invariant).
+        ch_moves = (
+            jnp.zeros((d_days * n_emp,), bool),
+            jnp.repeat(iota_d, n_emp),
+            jnp.repeat(iota_d, n_emp),
+            jnp.tile(iota_e, d_days),
+        )
+        ch_scores = cur_score[None, :] + jnp.stack(
+            [d_hard.reshape(-1), d_soft.reshape(-1)], axis=1
+        )
+        ch_valid = jnp.ones((d_days * n_emp,), bool)
+
+        if n_off == 0:
+            return Neighborhood(
+                scores=ch_scores, moves=ch_moves, valid=ch_valid
+            )
+
+        delta = jax.random.randint(key, (n_off,), 14, d_days, jnp.int32)
+        a_ext = jnp.concatenate([a, jnp.full((d_days,), -2, jnp.int32)])
+        a2 = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(a_ext, (s,), (d_days,))
+        )(delta)                                         # [n_off, D]
+        oh2 = jax.nn.one_hot(a2, n_emp, dtype=f32)       # [n_off, D, E]
+
+        # Hard + S1 contractions of the ChangeDay blocks.
+        blk = jnp.concatenate([d_hard[None], d_s1[None]])          # [2, D, E]
+        blk_ext = jnp.concatenate(
+            [blk, jnp.zeros((2, d_days, n_emp), f32)], axis=1
+        )
+        blk_sh = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(
+                blk_ext, (0, s, 0), (2, d_days, n_emp)
+            )
+        )(delta)                                         # [n_off, 2, D, E]
+        term_a = jnp.einsum("kde,jde->jkd", blk, oh2)    # block[d, a2]
+        term_b = jnp.einsum("jkde,de->jkd", blk_sh, oh)  # block[d+delta, a1]
+        hard_sw = term_a[:, 0] + term_b[:, 0]            # [n_off, D]
+        s1_sw = term_a[:, 1] + term_b[:, 1]
+
+        # S2 coupled: rows wd(d) and wd(d+delta) exchange a1 <-> a2.
+        wd2 = (weekday[None, :] + delta[:, None]) % 7    # [n_off, D]
+        wd2_oh5 = jax.nn.one_hot(wd2, 5, dtype=f32)      # [n_off, D, 5]
+        diff = oh2 - oh[None]                            # +a2 -a1 at day d
+        upd = (
+            c_base[None, None]
+            + wd_oh5[None, :, :, None] * diff[:, :, None, :]
+            - wd2_oh5[:, :, :, None] * diff[:, :, None, :]
+        )                                                # [n_off, D, 5, E]
+        s2_sw = s2_of(upd) - s2_base                     # [n_off, D]
+
+        # S4 coupled: wk[a2] += wkd1 - wkd2, wk[a1] -= wkd1 - wkd2.
+        wkd2 = (wd2 >= 5).astype(f32)                    # [n_off, D]
+        dw = (weekend_f[None, :] - wkd2)[:, :, None]     # [n_off, D, 1]
+        wk_new = wk[None, None, :] + dw * diff           # [n_off, D, E]
+        s4_sw = spread_of(wk_new, pres_b, np_b) - s4_base
+
+        noop_sw = a2 == a[None, :]
+        hard_sw = jnp.where(noop_sw, 0.0, hard_sw)
+        soft_sw = jnp.where(noop_sw, 0.0, s1_sw + s2_sw + s4_sw)
+        valid_sw = (iota_d[None, :] + delta[:, None]) <= d_days - 1
+
+        d2_sw = jnp.minimum(iota_d[None, :] + delta[:, None], d_days - 1)
+        sw_moves = (
+            jnp.ones((n_off * d_days,), bool),
+            jnp.tile(iota_d, n_off),
+            d2_sw.reshape(-1).astype(jnp.int32),
+            jnp.zeros((n_off * d_days,), jnp.int32),
+        )
+        sw_scores = cur_score[None, :] + jnp.stack(
+            [hard_sw.reshape(-1), soft_sw.reshape(-1)], axis=1
+        )
+
+        cat = lambda u, v: jnp.concatenate([u, v])
+        moves = jax.tree.map(cat, ch_moves, sw_moves)
+        return Neighborhood(
+            scores=cat(ch_scores, sw_scores),
+            moves=moves,
+            valid=cat(ch_valid, valid_sw.reshape(-1)),
+        )
+
     def materialize(assign, moves):
         """Candidate states [W, D] for the rescore A/B path — scatter-free
         mask writes, one row per move."""
@@ -487,6 +804,9 @@ def make_scheduling_problem(
             apply_move_states,
         )
         width = d_days * (n_emp - 1)
+    elif proposer == "dense":
+        nbr_fn, fp_fn, apply_fn = neighborhood_dense, move_fp, apply_move
+        width = d_days * n_emp + n_off * d_days
     else:
         assert proposer in ("random", "rescore"), proposer
         nbr_fn = neighborhood if proposer == "random" else neighborhood_rescore

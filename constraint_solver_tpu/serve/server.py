@@ -346,7 +346,12 @@ Web Worker loop).</p>
 <fieldset><legend>Problem</legend>
  Start <input type="date" id="start" value="2022-05-09">
  End <input type="date" id="end" value="2022-06-08">
- Employees <input type="number" id="nemp" value="7" min="1" max="50">
+</fieldset>
+<fieldset><legend>Employees</legend>
+ <button id="addEmp">Add employee</button>
+ <ul id="emps" style="list-style:none;padding-left:0"></ul>
+ <small>Holidays: comma-separated ISO dates (e.g. 2022-05-12, 2022-05-13) —
+ assigning an employee on their own holiday is a hard violation (H1).</small>
 </fieldset>
 <button id="startBtn">Start solving</button>
 <button id="cancelBtn" disabled>Cancel</button>
@@ -354,20 +359,41 @@ Web Worker loop).</p>
 <div id="score" class="score"></div>
 <table id="result"></table>
 <script>
-let solverId = null, cancelled = false;
+let solverId = null, cancelled = false, nextId = 0;
 const $ = id => document.getElementById(id);
 async function api(method, path, body) {
   const r = await fetch(path, {method, headers:{'Content-Type':'application/json'},
                                body: body ? JSON.stringify(body) : undefined});
   return r.json();
 }
+// Per-employee rows with holiday inputs + add/remove, the reference form
+// capability (web/employee-scheduling/src/index.html:13-61, index.ts:20-60).
+function addEmployee() {
+  const id = nextId++;
+  const li = document.createElement('li');
+  li.dataset.empId = id;
+  li.innerHTML = `<button class="rm">X</button> Employee ${id}
+    holidays <input class="holidays" size="40" placeholder="2022-05-12, 2022-05-13">`;
+  li.querySelector('.rm').onclick = () => li.remove();
+  $('emps').appendChild(li);
+}
+$('addEmp').onclick = addEmployee;
+for (let i = 0; i < 7; i++) addEmployee();  // reference default: 7 employees
 $('startBtn').onclick = async () => {
   cancelled = false; $('startBtn').disabled = true; $('cancelBtn').disabled = false;
-  const n = +$('nemp').value;
-  const employees = Array.from({length:n}, (_,i)=>({id:i}));
+  const rows = [...document.querySelectorAll('#emps li')];
+  const employees = rows.map(li => ({id: +li.dataset.empId}));
+  const employeeHolidays = rows.map(li =>
+    li.querySelector('.holidays').value.split(',')
+      .map(s => s.trim()).filter(s => s.length));
   const res = await api('POST','/api/solvers', {
     startDate: $('start').value, endDate: $('end').value,
-    employees, employeeHolidays: employees.map(()=>[])});
+    employees, employeeHolidays});
+  if (res.error) {
+    $('score').textContent = `error: ${res.error}`;
+    $('startBtn').disabled = false; $('cancelBtn').disabled = true;
+    return;
+  }
   solverId = res.solverId;
   tick();
 };

@@ -100,7 +100,9 @@ def test_delta_and_rescore_trajectories_identical():
         all_solution_iteration_expiry=100,
         max_allow_no_improvement_for=5,
     )
-    a = Solver(make_scheduling_problem(spec, window_size=32), cfg)
+    a = Solver(
+        make_scheduling_problem(spec, window_size=32, proposer="random"), cfg
+    )
     b = Solver(
         make_scheduling_problem(spec, window_size=32, proposer="rescore"), cfg
     )
