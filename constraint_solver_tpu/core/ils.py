@@ -57,6 +57,9 @@ class IlsState(NamedTuple):
     tabu: TabuRing
     round: jax.Array          # int32[]
     ls_iters_total: jax.Array  # int32[] total inner LS iterations (metrics)
+    # int32[] iterations where the tabu pick-then-check retry budget ran
+    # out with valid candidates left (measured divergence, docs/DESIGN.md).
+    tabu_exhausted_total: jax.Array
     key: jax.Array
     # Acceptance mode knob (a per-trajectory portfolio parameter):
     #   < 0  — the reference's score-blind weighted random choice
@@ -120,6 +123,7 @@ def ils_init(
         ),
         round=jnp.int32(0),
         ls_iters_total=jnp.int32(0),
+        tabu_exhausted_total=jnp.int32(0),
         key=key,
         accept_temp=jnp.float32(accept_temp),
     )
@@ -156,7 +160,7 @@ def ils_round(
     perturbed = problem.perturb(cur_state, is_elite, k_perturb)
 
     # Inner descent (ref :195-197); gated off for converged trajectories.
-    new_state, new_score, tabu, ls_iters = ls_execute(
+    new_state, new_score, tabu, ls_iters, ls_exhausted = ls_execute(
         problem, ls_params, perturbed, st.tabu, k_ls, enabled=~done
     )
     new_fp = problem.fingerprint(new_state)
@@ -199,6 +203,7 @@ def ils_round(
         tabu=tabu,
         round=rnd,
         ls_iters_total=st.ls_iters_total + ls_iters,
+        tabu_exhausted_total=st.tabu_exhausted_total + ls_exhausted,
         key=key,
         accept_temp=st.accept_temp,
     )
@@ -373,6 +378,7 @@ class Solver:
             "rounds": int(self.state.round),
             "ls_iterations": iters,
             "moves_evaluated": moves,
+            "tabu_retry_exhausted": int(self.state.tabu_exhausted_total),
         }
         if self._wall > 0:
             out["moves_per_sec"] = round(moves / self._wall)

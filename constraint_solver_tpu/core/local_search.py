@@ -62,6 +62,11 @@ class _LsCarry(NamedTuple):
     no_improve: jax.Array
     it: jax.Array
     done: jax.Array
+    # Iterations where the pick-then-check retry budget ran out with valid
+    # candidates remaining (the documented divergence from the reference's
+    # exact filter, ref local_search.rs:319) — exposed so the divergence is
+    # MEASURED, not just documented (docs/DESIGN.md).
+    exhausted: jax.Array
 
 
 def _select(pred: jax.Array, a, b):
@@ -100,6 +105,7 @@ def ls_execute(
         no_improve=jnp.int32(0),
         it=jnp.int32(0),
         done=~jnp.asarray(enabled),
+        exhausted=jnp.int32(0),
     )
 
     def cond(c: _LsCarry):
@@ -139,9 +145,12 @@ def ls_execute(
             jnp.asarray(False),
             jnp.int32(0),
         )
-        _, idx, cand_fp, found, _ = jax.lax.while_loop(
+        p_valid, idx, cand_fp, found, _ = jax.lax.while_loop(
             pick_cond, pick_body, init_pick
         )
+        # Retry-budget exhaustion: stopped without a non-tabu winner while
+        # valid candidates remained (measured divergence, see _LsCarry).
+        exhausted_event = (~found) & jnp.any(p_valid)
 
         cand_score = nb.scores[idx]
         cand_state = problem.apply_move(c.state, nb.moves, idx)
@@ -180,7 +189,8 @@ def ls_execute(
             )),
             it=c.it + 1,
             done=hit_best | bail | empty_nbr,
+            exhausted=c.exhausted + exhausted_event.astype(jnp.int32),
         )
 
     out = jax.lax.while_loop(cond, body, carry)
-    return out.best_state, out.best_score, out.tabu, out.it
+    return out.best_state, out.best_score, out.tabu, out.it, out.exhausted

@@ -80,11 +80,26 @@ def qap_cost_naive(flow: np.ndarray, dist: np.ndarray, p: np.ndarray) -> float:
 
 
 @lru_cache(maxsize=32)
-def make_qap_problem(spec: QAPSpec) -> Problem:
+def make_qap_problem(
+    spec: QAPSpec,
+    nbr_axis: str | None = None,
+    nbr_shards: int = 1,
+    nbr_keep: int = 64,
+) -> Problem:
+    """``nbr_axis``/``nbr_shards``: tensor-parallel neighborhood.  Inside a
+    ``shard_map`` over that mesh axis each shard scores its n/shards ROW
+    BLOCK of the [n, n] swap-delta matrix with two [n/S, n] x [n, n] MXU
+    matmuls (H and Hᵀ rows; F and G are symmetric so Hᵀ rows = G[rows] @ F),
+    all_gathers the [n] diagonal, keeps its ``nbr_keep`` best candidates,
+    and an all_gather over the axis rebuilds a small global candidate list —
+    the same collective pattern as the nqueens ``nbr_axis`` neighborhood."""
     flow_np, dist_np = spec.arrays()
     n = flow_np.shape[0]
     flow = jnp.asarray(flow_np)
     dist = jnp.asarray(dist_np)
+    if nbr_axis is not None and n % nbr_shards != 0:
+        raise ValueError(f"n={n} must divide over {nbr_shards} nbr shards")
+    rows_per = n // nbr_shards
 
     def permuted_dist(p: jax.Array) -> jax.Array:
         """G = D[p][:, p] via onehot matmuls (MXU, gather-free)."""
@@ -122,6 +137,44 @@ def make_qap_problem(spec: QAPSpec) -> Problem:
             scores=make_score(cand.reshape(-1)),
             moves=(a_idx, b_idx),
             valid=valid,
+        )
+
+    def neighborhood_sharded(p, cur_score, _key):
+        # Row-block of the swap-delta matrix per shard: 2/S of the matmul
+        # flops each, then local-top-k + all_gather (docstring above).
+        g = permuted_dist(p)  # replicated state => identical G everywhere
+        shard = jax.lax.axis_index(nbr_axis)
+        r0 = shard * rows_per
+        f_rows = jax.lax.dynamic_slice(flow, (r0, 0), (rows_per, n))
+        g_rows = jax.lax.dynamic_slice(g, (r0, 0), (rows_per, n))
+        h_rows = jnp.dot(f_rows, g, preferred_element_type=jnp.float32)
+        # Hᵀ[a, :] = (G F)[a, :] because F = Fᵀ and G = Gᵀ.
+        ht_rows = jnp.dot(g_rows, flow, preferred_element_type=jnp.float32)
+        hd_local = jnp.sum(f_rows * g_rows, axis=1)  # H[a, a] for my rows
+        hd = jax.lax.all_gather(hd_local, nbr_axis, axis=0, tiled=True)  # [n]
+        delta = 2.0 * (
+            h_rows + ht_rows - hd_local[:, None] - hd[None, :]
+            + 2.0 * f_rows * g_rows
+        )
+        cand = (cur_score[0] + delta).reshape(-1)  # [rows_per * n]
+        ia = jnp.arange(n, dtype=jnp.int32)
+        a_idx = jnp.broadcast_to(
+            (r0 + jnp.arange(rows_per, dtype=jnp.int32))[:, None],
+            (rows_per, n),
+        ).reshape(-1)
+        b_idx = jnp.broadcast_to(ia[None, :], (rows_per, n)).reshape(-1)
+        valid = a_idx < b_idx
+
+        k_keep = min(nbr_keep, rows_per * n)
+        neg, idxs = jax.lax.top_k(jnp.where(valid, -cand, -jnp.inf), k_keep)
+        cand = -neg
+        a_idx, b_idx = a_idx[idxs], b_idx[idxs]
+        valid = jnp.isfinite(cand)
+        gather = lambda x: jax.lax.all_gather(x, nbr_axis, axis=0, tiled=True)
+        return Neighborhood(
+            scores=make_score(gather(cand)),
+            moves=(gather(a_idx), gather(b_idx)),
+            valid=gather(valid),
         )
 
     def move_fp(p, cur_fp, moves, idx):
@@ -176,7 +229,9 @@ def make_qap_problem(spec: QAPSpec) -> Problem:
         score=score,
         is_best=is_best,
         fingerprint=fingerprint,
-        neighborhood=neighborhood,
+        neighborhood=(
+            neighborhood if nbr_axis is None else neighborhood_sharded
+        ),
         move_fp=move_fp,
         apply_move=apply_move,
         perturb=perturb,

@@ -380,6 +380,9 @@ class PopulationSolver:
             "population": self.population,
             "ls_iterations": iters,
             "moves_evaluated": moves,
+            "tabu_retry_exhausted": int(
+                np.sum(np.asarray(jax.device_get(self.state.tabu_exhausted_total)))
+            ),
         }
         if self._wall > 0:
             out["moves_per_sec"] = round(moves / self._wall)

@@ -382,6 +382,7 @@ def seq_state_specs(axis: str) -> IlsState:
         tabu=TabuRing(fps=rep, iters=rep, head=rep, count=rep, expiry=rep),
         round=rep,
         ls_iters_total=rep,
+        tabu_exhausted_total=rep,
         key=rep,
         accept_temp=rep,
     )

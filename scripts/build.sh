@@ -24,7 +24,11 @@ assert all(r is not None for r in routes), "router returned fallbacks"
 print(f"demo raster: {shape} -> /tmp/out.png; routed {len(routes)} connectors")
 PY
 
-echo "== baseline bench binary =="
+echo "== timed geometry bench (ref geom_benchmark.rs analog) =="
+python bench/geom_bench.py
+
+echo "== baseline bench binaries =="
 g++ -O3 -march=native -o /tmp/baseline_nqueens bench/baseline_nqueens.cc
-echo "built: /tmp/baseline_nqueens"
+g++ -O3 -march=native -o /tmp/baseline_scheduling bench/baseline_scheduling.cc
+echo "built: /tmp/baseline_nqueens /tmp/baseline_scheduling"
 echo "OK"

@@ -11,26 +11,42 @@ from constraint_solver_tpu.core.ils import Solver, SolverConfig
 from constraint_solver_tpu.models.nqueens import make_nqueens_problem
 
 
+def _solve_once(seed: str):
+    solver = Solver(
+        make_nqueens_problem(8),
+        SolverConfig(
+            seed=seed,
+            local_search_max_iterations=10_000,
+            best_solutions_capacity=32,
+            all_solutions_capacity=512,
+            all_solution_iteration_expiry=1_000,
+            iterated_local_search_max_iterations=10_000,
+            max_allow_no_improvement_for=5,
+        ),
+    )
+    solver.run(chunk=8)
+    (hard, soft), state = solver.get_best_solution()
+    return (hard, soft, tuple(state.rows.tolist()))
+
+
 @pytest.mark.parametrize("seed", [str(s) for s in range(42, 46)])
 def test_nqueens_repeatable_and_solved(seed):
-    results = []
-    for _ in range(3):
-        solver = Solver(
-            make_nqueens_problem(8),
-            SolverConfig(
-                seed=seed,
-                local_search_max_iterations=10_000,
-                best_solutions_capacity=32,
-                all_solutions_capacity=512,
-                all_solution_iteration_expiry=1_000,
-                iterated_local_search_max_iterations=10_000,
-                max_allow_no_improvement_for=5,
-            ),
-        )
-        solver.run(chunk=8)
-        (hard, soft), state = solver.get_best_solution()
-        results.append((hard, soft, tuple(state.rows.tolist())))
+    results = [_solve_once(seed) for _ in range(3)]
+    first = results[0]
+    for other in results[1:]:
+        assert other == first, f"nondeterministic result with seed {seed}"
+    assert first[0] == 0, f"8-queens unsolved with seed {seed}: {first}"
+    assert sorted(first[2]) == list(range(8))
 
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [str(s) for s in range(42, 50)])
+def test_nqueens_repeatable_reference_rigor(seed):
+    """Full reference rigor (examples/nqueens/src/main.rs:152-201): seeds
+    "42".."49", TEN reruns each, all identical and all solving 8-queens to
+    zero conflicts.  Marked slow; run with `pytest -m slow` (the quick
+    3x/4-seed variant above always runs)."""
+    results = [_solve_once(seed) for _ in range(10)]
     first = results[0]
     for other in results[1:]:
         assert other == first, f"nondeterministic result with seed {seed}"

@@ -87,7 +87,7 @@ def test_elite_archive_get_best_multiple():
 def _run_ls(problem, start, seed=0, allow=1, max_iter=100_000):
     tabu = TabuRing.create(256, expiry=10_000)
     params = LsParams(max_iterations=max_iter, allow_no_improvement_for=allow)
-    best_state, best_score, _, iters = ls_execute(
+    best_state, best_score, _, iters, _ = ls_execute(
         problem, params, start, tabu, jax.random.key(seed)
     )
     return best_state, best_score, int(iters)
@@ -120,7 +120,7 @@ def test_ls_gated_off_is_noop():
     start = problem.init(jax.random.key(0))
     tabu = TabuRing.create(16, expiry=100)
     params = LsParams(max_iterations=1000, allow_no_improvement_for=5)
-    best_state, _, _, iters = ls_execute(
+    best_state, _, _, iters, _ = ls_execute(
         problem, params, start, tabu, jax.random.key(1), enabled=False
     )
     assert int(iters) == 0

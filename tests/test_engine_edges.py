@@ -62,7 +62,7 @@ def test_tabu_retry_picks_next_best():
     # Make state 0 (the global best candidate) tabu.
     tabu = tabu.push(fingerprint_i32(jnp.asarray([0], jnp.int32)))
     params = LsParams(max_iterations=1, allow_no_improvement_for=10)
-    best_state, best_score, _, _ = ls_execute(
+    best_state, best_score, _, _, _ = ls_execute(
         problem, params, jnp.asarray([3], jnp.int32), tabu, jax.random.key(0)
     )
     # 0 is tabu -> candidate 1 must be chosen (score 1 < start 3).
@@ -76,7 +76,7 @@ def test_all_tabu_neighborhood_keeps_start():
     for v in range(4):
         tabu = tabu.push(fingerprint_i32(jnp.asarray([v], jnp.int32)))
     params = LsParams(max_iterations=5, allow_no_improvement_for=10)
-    best_state, best_score, _, _ = ls_execute(
+    best_state, best_score, _, _, _ = ls_execute(
         problem, params, jnp.asarray([3], jnp.int32), tabu, jax.random.key(0)
     )
     # Everything tabu: no candidate is ever accepted; start is returned.

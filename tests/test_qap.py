@@ -103,3 +103,75 @@ def test_cli_smoke(capsys):
                    "--quiet"])
     out = capsys.readouterr().out
     assert rc == 0 and "result.cost" in out
+
+
+def test_qap_sharded_neighborhood_consistent():
+    """nbr-sharded QAP: every candidate the collective neighborhood emits
+    carries exactly the score a full rescore assigns to its swap (the
+    local-top-k + all_gather must not scramble the (score, move) pairing),
+    and the globally best swap survives the per-shard top-k."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from constraint_solver_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_pop=1, n_nbr=4)
+    jax.set_mesh(mesh)
+    spec = QAPSpec.random(16, seed=3)
+    problem = make_qap_problem(spec, nbr_axis="nbr", nbr_shards=4, nbr_keep=8)
+    flow, dist = spec.arrays()
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.permutation(16), jnp.int32)
+    cur = problem.score(p)
+
+    nb = jax.jit(
+        jax.shard_map(
+            lambda q: problem.neighborhood(q, cur, jax.random.key(0)),
+            mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False,
+        )
+    )(p)
+    scores = np.asarray(nb.scores)
+    a_idx, b_idx = np.asarray(nb.moves[0]), np.asarray(nb.moves[1])
+    valid = np.asarray(nb.valid)
+    assert valid.any()
+    best_emitted = np.inf
+    for i in np.flatnonzero(valid):
+        q = np.asarray(p).copy()
+        q[a_idx[i]], q[b_idx[i]] = q[b_idx[i]], q[a_idx[i]]
+        assert scores[i, 0] == qap_cost_naive(flow, dist, q)
+        best_emitted = min(best_emitted, scores[i, 0])
+    # The global best swap is in the emitted list.
+    full = make_qap_problem(spec)
+    nb_full = full.neighborhood(p, cur, jax.random.key(0))
+    full_best = float(
+        np.min(np.where(np.asarray(nb_full.valid),
+                        np.asarray(nb_full.scores)[:, 0], np.inf))
+    )
+    assert best_emitted == full_best
+
+
+def test_qap_sharded_population_solves():
+    """QAP on the 2D (pop x nbr) mesh end-to-end via the sharded solver."""
+    import jax
+
+    from constraint_solver_tpu.core.ils import SolverConfig
+    from constraint_solver_tpu.parallel.mesh import make_mesh
+    from constraint_solver_tpu.parallel.sharded import ShardedPopulationSolver
+
+    mesh = make_mesh(n_pop=2, n_nbr=4)
+    spec = QAPSpec.random(16, seed=1)
+    problem = make_qap_problem(spec, nbr_axis="nbr", nbr_shards=4, nbr_keep=16)
+    config = SolverConfig(
+        seed="qap2d",
+        local_search_max_iterations=60,
+        iterated_local_search_max_iterations=40,
+        all_solutions_capacity=64,
+        all_solution_iteration_expiry=200,
+        max_allow_no_improvement_for=5,
+    )
+    solver = ShardedPopulationSolver(problem, config, population=4, mesh=mesh)
+    solver.run(max_rounds=20, chunk=4)
+    (hard, _), perm = solver.get_best_solution()
+    flow, dist = spec.arrays()
+    assert hard == qap_cost_naive(flow, dist, np.asarray(perm))
+    assert sorted(np.asarray(perm).tolist()) == list(range(16))
