@@ -1,8 +1,10 @@
-"""Secondary-domain TPU measurements (diagram layout, QAP) for BENCH_NOTES.
+"""Per-domain TPU measurements + MFU/roofline table for BENCH_NOTES.
 
 Not the driver's headline harness (that's repo-root bench.py); this script
-records moves/s + quality for the MXU-heavy domains on one chip.  Keeps
-dispatches small (chunk=2 rounds) per docs/DESIGN.md axon rules.
+records moves/s + quality + the XLA-accounted roofline point (MFU, HBM
+fraction, arithmetic intensity) for every domain on one chip — the VERDICT
+r1 item-3 table.  Keeps dispatches small (chunk=2 rounds) per
+docs/DESIGN.md axon rules.
 """
 
 import os
@@ -17,7 +19,7 @@ from constraint_solver_tpu.core.ils import SolverConfig
 from constraint_solver_tpu.parallel.population import PopulationSolver
 
 
-def run(problem, config, pop, rounds, label):
+def run(problem, config, pop, rounds, label, chunk=2):
     solver = PopulationSolver(problem, config, population=pop)
     t0 = time.time()
     solver.run(max_rounds=2, chunk=2)  # compile warm-up
@@ -26,7 +28,7 @@ def run(problem, config, pop, rounds, label):
     # wall is pure solve time.
     solver = PopulationSolver(problem, config, population=pop)
     t0 = time.time()
-    solver.run(max_rounds=rounds, chunk=2)
+    solver.run(max_rounds=rounds, chunk=chunk)
     wall = time.time() - t0
     (hard, soft), _ = solver.get_best_solution()
     stats = solver.stats()
@@ -37,10 +39,33 @@ def run(problem, config, pop, rounds, label):
         f"moves/s={moves / wall:.3g}",
         flush=True,
     )
+    try:
+        from constraint_solver_tpu.utils.roofline import format_roofline
+
+        print(f"{label}: {format_roofline(solver.roofline(chunk=chunk))}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{label}: roofline skipped ({e})", flush=True)
 
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    # nqueens at the headline-bench configuration, so the MFU table covers
+    # the VPU-bound flagship too (bench.py measures throughput; this
+    # measures where that sits on the roofline).
+    from constraint_solver_tpu.models.nqueens import make_nqueens_problem
+
+    nq = make_nqueens_problem(1000, use_pallas=on_tpu)
+    nq_config = SolverConfig(
+        seed="bench",
+        local_search_max_iterations=250,
+        best_solutions_capacity=8,
+        all_solutions_capacity=256,
+        iterated_local_search_max_iterations=10_000,
+        max_allow_no_improvement_for=5,
+    )
+    run(nq, nq_config, pop=256, rounds=6, label="nqueens-1000")
 
     from constraint_solver_tpu.models.diagram_layout import (
         DiagramLayoutSpec,

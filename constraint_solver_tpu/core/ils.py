@@ -383,3 +383,16 @@ class Solver:
         if self._wall > 0:
             out["moves_per_sec"] = round(moves / self._wall)
         return out
+
+    def roofline(self, chunk: int = 2) -> dict:
+        """MFU / HBM-bandwidth accounting of this solver's compiled chunk
+        program against the chip's peaks (utils/roofline.py), scaled by the
+        measured solve wall.  Costs come from XLA's own ``cost_analysis()``
+        of the optimized HLO, never hand-maintained constants.  Compiles one
+        fresh program instance — call after a solve, not per round.  The
+        reference has no perf accounting at all (SURVEY.md §5)."""
+        from constraint_solver_tpu.utils.roofline import chunk_roofline
+
+        return chunk_roofline(
+            self._chunk_jit, self.state, int(self.state.round), self._wall, chunk
+        )

@@ -38,6 +38,17 @@ of its ``amount`` drawn columns uniquely; we take the first ``num_cols`` of
 the Gumbel order (already a random weighted order) — same support, slightly
 different inclusion probabilities.
 
+Divergence note (neighborhood width): the reference truncates the proposed
+move list to ``window_size`` = 5n candidates and stops scoring there
+(ref examples/nqueens/src/main.rs:130, local_search.rs:321); this
+neighborhood scores the full dense A x n block (50,000 candidates at the
+bench's A=50, n=1000) because on the TPU the block is one fused VPU op —
+masking it to 5n would save nothing.  Consequence for metrics: "moves
+evaluated/s" counts ~10x more candidate evaluations per LS iteration than
+the reference would score for the same descent, so cross-implementation
+comparisons should anchor on time-to-zero-violations (bench.py reports
+both; BENCH_NOTES.md keeps time-to-zero primary).
+
 The solver state ``NQState`` carries the line counters and per-column
 conflict scores INCREMENTALLY: applying a move updates 6 counter entries
 and does one O(n) elementwise fix-up of the column scores, so a local-search

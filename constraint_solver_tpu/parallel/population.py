@@ -388,6 +388,18 @@ class PopulationSolver:
             out["moves_per_sec"] = round(moves / self._wall)
         return out
 
+    def roofline(self, chunk: int = 2) -> dict:
+        """MFU / HBM-bandwidth accounting of the population chunk program
+        (all lanes, including the elite exchange) against the chip's peaks,
+        scaled by the measured solve wall — see ``Solver.roofline``.  Also
+        valid for ``ShardedPopulationSolver`` (its sharded chunk program is
+        cost-analyzed as compiled, collectives included)."""
+        from constraint_solver_tpu.utils.roofline import chunk_roofline
+
+        return chunk_roofline(
+            self._chunk_jit, self.state, self._round_count(), self._wall, chunk
+        )
+
     def reseed_from_elites(self) -> None:
         """Warm-restart every lane's current solution from a random entry of
         its elite archive — the elastic-recovery story (SURVEY.md §5): after

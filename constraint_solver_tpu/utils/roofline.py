@@ -93,6 +93,33 @@ def roofline(
     }
 
 
+def chunk_roofline(
+    chunk_jit,
+    state,
+    rounds: int,
+    wall_s: float,
+    chunk: int = 2,
+) -> dict[str, Any]:
+    """Roofline of a solver's jitted chunk program over a measured solve.
+
+    XLA's cost analysis of one ``chunk_jit(state, chunk)`` call gives
+    flops/bytes per round; scaling by the solve's executed ``rounds`` over
+    its measured ``wall_s`` yields the achieved FLOP/s / HBM-bandwidth
+    point.  Lowers and compiles one fresh program instance (the live jit
+    cache is not reachable through ``.lower()``), so call this after a
+    solve, never inside one.
+    """
+    ca = cost_analysis(chunk_jit, state, chunk)
+    per_round_flops = ca["flops"] / chunk
+    per_round_bytes = ca["bytes"] / chunk
+    out = roofline(per_round_flops, per_round_bytes, max(rounds, 1), max(wall_s, 1e-9))
+    out["flops_per_round"] = per_round_flops
+    out["hbm_bytes_per_round"] = per_round_bytes
+    out["rounds"] = rounds
+    out["wall_s"] = wall_s
+    return out
+
+
 def format_roofline(r: dict[str, Any]) -> str:
     return (
         f"[{r['chip']}] {r['flops_per_sec']:.3g} FLOP/s "
