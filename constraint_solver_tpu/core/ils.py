@@ -134,8 +134,19 @@ def ils_round(
     ls_params: LsParams,
     ils_params: IlsParams,
     st: IlsState,
+    round_scalar: jax.Array | None = None,
 ) -> IlsState:
-    """One ILS round (ref execute_round, iterated_local_search.rs:173-202)."""
+    """One ILS round (ref execute_round, iterated_local_search.rs:173-202).
+
+    ``round_scalar``: the 1-based round number this call executes, as an
+    UNBATCHED scalar.  Lane round counters advance in lockstep (every lane's
+    ``round`` increments every call, converged or not), so chunk drivers can
+    thread the loop index here and the every-``restart_every`` random restart
+    compiles to a real ``lax.cond`` branch — the O(n^2) ``problem.init`` is
+    then only computed on the 1-in-50 rounds that restart, instead of being
+    computed and discarded by a select on every round.  ``None`` falls back
+    to the per-lane select (same trajectories, more work per round).
+    """
     rnd = st.round + 1  # ref :174 — increments even on the early-exit path
 
     # Early-exit check against the elite best (ref :175-184).
@@ -148,11 +159,28 @@ def ils_round(
     )
 
     # Full random restart every `restart_every` rounds (ref :185-191).
-    restart = (rnd % ils_params.restart_every) == 0
-    fresh_state = problem.init(k_restart)
-    cur_state = _select(restart, fresh_state, st.current_state)
-    cur_score = jnp.where(restart, problem.score(fresh_state), st.current_score)
-    cur_fp = jnp.where(restart, problem.fingerprint(fresh_state), st.current_fp)
+    def do_restart(_):
+        fresh_state = problem.init(k_restart)
+        return (
+            fresh_state,
+            problem.score(fresh_state),
+            problem.fingerprint(fresh_state),
+        )
+
+    def no_restart(_):
+        return st.current_state, st.current_score, st.current_fp
+
+    if round_scalar is None:
+        restart = (rnd % ils_params.restart_every) == 0
+        fresh_state, fresh_score, fresh_fp = do_restart(None)
+        cur_state = _select(restart, fresh_state, st.current_state)
+        cur_score = jnp.where(restart, fresh_score, st.current_score)
+        cur_fp = jnp.where(restart, fresh_fp, st.current_fp)
+    else:
+        restart_s = (round_scalar % ils_params.restart_every) == 0
+        cur_state, cur_score, cur_fp = jax.lax.cond(
+            restart_s, do_restart, no_restart, None
+        )
 
     # Perturbation (ref :192-194), intensify near elites / diversify otherwise
     # (e.g. nqueens lib.rs:304-307).
@@ -219,7 +247,12 @@ def _solver_programs(problem: Problem, ls_params: LsParams, ils_params: IlsParam
     round_fn = partial(ils_round, problem, ls_params, ils_params)
 
     def run_chunk(st: IlsState, n: int) -> IlsState:
-        return jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
+        # Thread the loop round number as a scalar so the every-50-rounds
+        # restart is a real branch (see ils_round round_scalar).
+        base = st.round
+        return jax.lax.fori_loop(
+            0, n, lambda i, s: round_fn(s, round_scalar=base + 1 + i), st
+        )
 
     return SimpleNamespace(
         round=jax.jit(round_fn),

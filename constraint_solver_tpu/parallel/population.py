@@ -166,9 +166,20 @@ def _population_programs(
     its first timed chunk (~9 s for nqueens-1000 P=256 on the tunneled chip,
     dwarfing the ~3 s actual solve; see BENCH_NOTES.md)."""
     round_fn = jax.vmap(partial(ils_round, problem, ls_params, ils_params))
+    # Same body with the 1-based round number threaded as an UNBATCHED scalar:
+    # lane round counters advance in lockstep (population_init starts every
+    # lane at 0 and every call increments every lane), so the every-50-rounds
+    # restart compiles to a real lax.cond instead of computing and discarding
+    # a fresh O(n^2) problem.init on all P lanes every round.
+    round_at = jax.vmap(
+        partial(ils_round, problem, ls_params, ils_params), in_axes=(0, None)
+    )
 
     def run_chunk(st: IlsState, n: int) -> IlsState:
-        st = jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
+        base = st.round[0]
+        st = jax.lax.fori_loop(
+            0, n, lambda i, s: round_at(s, base + 1 + i), st
+        )
         return exchange_elites(st, k_exchange, cull_frac)
 
     # Host-read paths produce small REPLICATED outputs so they stay

@@ -421,7 +421,12 @@ class SeqShardedSolver:
 
         def chunk(st: IlsState, n: int) -> IlsState:
             body = partial(ils_round, problem, ls_p, ils_p)
-            return jax.lax.fori_loop(0, n, lambda _, s: body(s), st)
+            # Scalar round number => the periodic restart is a real branch
+            # (ils_round round_scalar); st.round is replicated over seq.
+            base = st.round
+            return jax.lax.fori_loop(
+                0, n, lambda i, s: body(s, round_scalar=base + 1 + i), st
+            )
 
         def run_chunk(st: IlsState, n: int) -> IlsState:
             return jax.shard_map(

@@ -50,10 +50,18 @@ def _sharded_chunk_program(
     no-recompile contract as parallel/population.py's program caches):
     ``n`` vmapped ILS rounds per shard, then one collective elite exchange
     over the ``pop`` axis."""
-    round_fn = jax.vmap(partial(ils_round, problem, ls_params, ils_params))
+    # Round number threaded as an unbatched scalar so the periodic restart
+    # is a real branch (see ils_round round_scalar); lane round counters are
+    # lockstep-equal across shards too (every lane increments every call).
+    round_at = jax.vmap(
+        partial(ils_round, problem, ls_params, ils_params), in_axes=(0, None)
+    )
 
     def shard_body(st: IlsState, n: int) -> IlsState:
-        st = jax.lax.fori_loop(0, n, lambda _, s: round_fn(s), st)
+        base = st.round[0]
+        st = jax.lax.fori_loop(
+            0, n, lambda i, s: round_at(s, base + 1 + i), st
+        )
         if k_exchange > 0:
             st = exchange_elites(st, k_exchange, cull_frac, axis="pop")
         return st
