@@ -151,6 +151,93 @@ def _kern_i16min(
     jax.lax.fori_loop(0, a, body, 0)
 
 
+def _kern_packed(
+    n, c_ref, r_ref, rem_ref, cur_ref, rc_ref, dac_ref, unused_ref,
+    out_ref, min_ref, arg_ref,
+):
+    """One i32 roll per row instead of two f32 rolls: dac packs dc in the
+    low 16 bits and ac REVERSED (ac[n + n_pad - 2 - t]) in the high 16 bits.
+    After rolling by the dc window start o = n-1-c_j, the low half IS the dc
+    window and the high half, read back-to-front (a static full-lane flip),
+    IS the ac window: hi(dac[o + n_pad-1-rp]) = ac[c_j + rp].  Counts are
+    < 32768 so i16 halves are exact and the packed i32 stays non-negative.
+    """
+    n_pad = rc_ref.shape[1]
+    a = out_ref.shape[0]
+    cur = cur_ref[0]
+    rp = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    in_range = rp < n
+    rc = rc_ref[0, :].reshape(1, n_pad)
+    dac = dac_ref[0, :].reshape(1, 2 * n_pad)
+
+    def body(j, _):
+        c_j, r_j, rem_j = c_ref[j], r_ref[j], rem_ref[j]
+        w = pltpu.roll(dac, c_j - (n - 1), axis=1)[:, :n_pad]
+        dc_sl = (w & 0xFFFF).astype(jnp.float32)
+        ac_sl = jnp.flip(w >> 16, axis=1).astype(jnp.float32)
+        same = (rp == r_j).astype(jnp.float32)
+        added = (rc - same) + (dc_sl - same) + (ac_sl - same)
+        row = cur + 2.0 * (added - rem_j)
+        out_ref[pl.ds(j, 1), :] = row
+        row_m = jnp.where(in_range, row, jnp.inf)
+        m = jnp.min(row_m)
+        min_ref[j] = m
+        arg_ref[j] = jnp.argmax((row_m == m).astype(jnp.float32)).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, a, body, 0)
+
+
+def build_packed():
+    n = N
+    n_pad = ((n + 127) // 128) * 128
+
+    @jax.jit
+    def run(rc, dc, ac, c, r, rem, cur):
+        rc_p = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(rc)
+        t = jnp.arange(2 * n_pad)
+        dc_i = jnp.zeros((2 * n_pad,), jnp.int32).at[: 2 * n - 1].set(
+            dc.astype(jnp.int32)
+        )
+        # high half: ac[n + n_pad - 2 - t] where valid, else 0
+        src = n + n_pad - 2 - t
+        ok = (src >= 0) & (src <= 2 * n - 2)
+        ac_rev = jnp.where(
+            ok, ac.astype(jnp.int32)[jnp.clip(src, 0, 2 * n - 2)], 0
+        )
+        dac = (dc_i | (ac_rev << 16)).reshape(1, 2 * n_pad)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=(
+                pl.BlockSpec((A, n_pad), lambda *_: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+        )
+        return pl.pallas_call(
+            functools.partial(_kern_packed, n),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((A, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((A,), jnp.float32),
+                jax.ShapeDtypeStruct((A,), jnp.int32),
+            ),
+            interpret=INTERP,
+        )(c, r, rem, cur.reshape(1), rc_p, dac, dac)
+
+    def loop(rc, dc, ac, c, r, rem, cur, key):
+        def body(i, acc):
+            cc = (c + i) % n
+            outs = run(rc, dc, ac, cc, r, rem, cur)
+            return acc + jnp.min(outs[0][:, :n])
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    return jax.jit(jax.vmap(loop))
+
+
 def build(kern, i16=False, with_min=False):
     n = N
     n_pad = ((n + 127) // 128) * 128
@@ -218,9 +305,18 @@ def main():
     variants = [
         ("base f32", build(_kern_base)),
         ("noroll (timing only)", build(_kern_noroll)),
-        ("i16 tables", build(_kern_i16, i16=True)),
-        ("i16 + row min/argmin", build(_kern_i16min, i16=True, with_min=True)),
     ]
+    if os.environ.get("ISO_PACKED"):
+        # Packed dc+reversed-ac single roll: EXACT in interpret mode, but
+        # fails to lower on the current Mosaic (lax.rev has no TPU rule).
+        variants += [("packed 1-roll + min", build_packed())]
+    if os.environ.get("ISO_I16"):
+        # i16 rolls are NOT supported by Mosaic ("Rotate with non-32-bit
+        # data"); kept behind a flag for re-testing on newer toolchains.
+        variants += [
+            ("i16 tables", build(_kern_i16, i16=True)),
+            ("i16 + row min/argmin", build(_kern_i16min, i16=True, with_min=True)),
+        ]
     print(f"n={N} P={P} A={A} K={K}", flush=True)
     for name, fn in variants:
         wall, _ = timeit(fn, states.rc, states.dc, states.ac, c, r, rem, cur, ks)
@@ -230,16 +326,19 @@ def main():
             flush=True,
         )
 
-    # correctness spot-check of the i16 variants vs base (single lane)
-    f_base = build(_kern_base)
-    f_i16 = build(_kern_i16, i16=True)
-    one = lambda x: x[:1]
-    args = (one(states.rc), one(states.dc), one(states.ac), one(c), one(r),
-            one(rem), one(cur), one(ks))
-    # reuse the loop's accumulated min as a cheap equality probe
-    a0, a1 = _force(f_base(*args)), _force(f_i16(*args))
-    print(f"i16-vs-f32 accumulated-min delta: {abs(float(a0[0]) - float(a1[0]))}",
-          flush=True)
+    if os.environ.get("ISO_PACKED"):
+        # correctness spot-check of the packed variant vs base (single lane);
+        # the loop's accumulated min is a cheap full-block equality probe.
+        f_base = build(_kern_base)
+        f_packed = build_packed()
+        one = lambda x: x[:1]
+        args = (one(states.rc), one(states.dc), one(states.ac), one(c), one(r),
+                one(rem), one(cur), one(ks))
+        a0, a1 = _force(f_base(*args)), _force(f_packed(*args))
+        print(
+            "packed-vs-f32 accumulated-min delta: "
+            f"{abs(float(a0[0]) - float(a1[0]))}", flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -63,8 +63,12 @@ class TabuRing(NamedTuple):
         match = jnp.all(self.fps == fp[None, :], axis=-1)
         present = jnp.any(match)
         slot = jnp.where(present, jnp.argmax(match), self.head)
-        fps = self.fps.at[slot].set(fp)
-        iters = self.iters.at[slot].set(count)
+        # Masked vector updates, not .at[slot].set: a dynamic-index scatter
+        # serializes on the TPU, while iota==slot select streams the ring
+        # through the VPU (the push sits on the per-iteration hot path).
+        sel = jnp.arange(self.fps.shape[0]) == slot
+        fps = jnp.where(sel[:, None], fp[None, :], self.fps)
+        iters = jnp.where(sel, count, self.iters)
         head = jnp.where(
             present, self.head, (self.head + 1) % self.fps.shape[0]
         )

@@ -121,36 +121,54 @@ def ls_execute(
         nb = problem.neighborhood(c.state, c.score, k_nb)
 
         # Pick-then-check tabu resolution: take the lexicographic best
-        # candidate, fingerprint it in O(1), and re-pick (invalidating the
-        # hit) while it is tabu, up to ``tabu_retries`` times.  Mirrors the
-        # reference's "tabu candidates are never chosen" invariant without
-        # materializing the O(W x T) membership matrix.
+        # candidate, fingerprint it in O(1), and re-pick (excluding already
+        # examined candidates) while it is tabu, examining at most
+        # ``tabu_retries`` candidates.  Mirrors the reference's "tabu
+        # candidates are never chosen" invariant without materializing the
+        # O(W x T) membership matrix.  The first pick runs OUTSIDE the
+        # retry loop (it is the only one that ever executes in practice —
+        # measured first-pick tabu-hit rate 0/12800 on nqueens-1000,
+        # bench/ls_isolation.py) and uses the proposer's ``hint_idx`` when
+        # available; retries track a tiny exclusion list instead of
+        # carrying/rewriting the full [W] validity mask through the loop.
+        retries = params.tabu_retries
+        n_valid = jnp.sum(nb.valid)
+        iota_w = jnp.arange(nb.valid.shape[0])
+
+        idx0 = (
+            nb.hint_idx
+            if nb.hint_idx is not None
+            else lex_argmin(nb.scores, nb.valid)
+        )
+        idx0 = idx0.astype(jnp.int32)
+        fp0 = problem.move_fp(c.state, c.fp, nb.moves, idx0)
+        found0 = (~tabu.is_tabu(fp0[None, :])[0]) & (n_valid > 0)
+        excl0 = jnp.full((retries,), -1, jnp.int32).at[0].set(idx0)
+
         def pick_cond(p):
-            valid, _idx, _fp, found, tries = p
-            return (~found) & (tries < params.tabu_retries) & jnp.any(valid)
+            _idx, _fp, found, tries, _excl = p
+            # tries counts candidates examined so far; stop when found, at
+            # the retry budget, or when every valid candidate was examined.
+            return (~found) & (tries < retries) & (tries < n_valid)
 
         def pick_body(p):
-            valid, _idx, _fp, _found, tries = p
-            idx = lex_argmin(nb.scores, valid)
+            _idx, _fp, _found, tries, excl = p
+            mask = nb.valid
+            for k in range(retries):  # static unroll; -1 slots never match
+                mask = mask & (iota_w != excl[k])
+            idx = lex_argmin(nb.scores, mask).astype(jnp.int32)
             fp = problem.move_fp(c.state, c.fp, nb.moves, idx)
             hit = tabu.is_tabu(fp[None, :])[0]
-            invalidated = valid & (jnp.arange(valid.shape[0]) != idx)
-            valid = jnp.where(hit, invalidated, valid)
-            return (valid, idx, fp, ~hit, tries + 1)
+            excl = jax.lax.dynamic_update_index_in_dim(excl, idx, tries, 0)
+            return (idx, fp, ~hit, tries + 1, excl)
 
-        init_pick = (
-            nb.valid,
-            jnp.int32(0),
-            c.fp,
-            jnp.asarray(False),
-            jnp.int32(0),
-        )
-        p_valid, idx, cand_fp, found, _ = jax.lax.while_loop(
-            pick_cond, pick_body, init_pick
+        idx, cand_fp, found, tries, _ = jax.lax.while_loop(
+            pick_cond, pick_body, (idx0, fp0, found0, jnp.int32(1), excl0)
         )
         # Retry-budget exhaustion: stopped without a non-tabu winner while
-        # valid candidates remained (measured divergence, see _LsCarry).
-        exhausted_event = (~found) & jnp.any(p_valid)
+        # unexamined valid candidates remained (measured divergence, see
+        # _LsCarry).
+        exhausted_event = (~found) & (n_valid > tries)
 
         cand_score = nb.scores[idx]
         cand_state = problem.apply_move(c.state, nb.moves, idx)
@@ -160,7 +178,7 @@ def ls_execute(
         # valid non-tabu candidates may remain beyond the retry budget, so
         # that case counts as a non-improving iteration and the descent
         # continues (it still ends via the no-improvement bail).
-        empty_nbr = ~jnp.any(nb.valid)
+        empty_nbr = n_valid == 0
 
         improved = lex_less(cand_score, c.score) & any_valid
         step = any_valid & ~hit_best

@@ -37,11 +37,20 @@ class Neighborhood(NamedTuple):
     fingerprint only the winner via ``Problem.move_fp``), so the O(W x T)
     membership matrix and O(W) hashing the reference's filter-then-score
     order would imply (ref local_search.rs:319) never exist on device.
+
+    ``hint_idx`` (optional): the flat index of the lexicographic-minimum
+    valid candidate, when the proposer can produce it more cheaply than a
+    separate full-width argmin pass (e.g. the nqueens Pallas kernel emits
+    per-row minima as a byproduct of scoring).  MUST be exactly
+    ``lex_argmin(scores, valid)`` including first-index tie-breaking — the
+    engine uses it verbatim as the first tabu pick and only falls back to
+    full-width masked argmin on a (measured-rare) tabu hit.
     """
 
     scores: jax.Array
     moves: Any
     valid: jax.Array
+    hint_idx: jax.Array | None = None
 
 
 class Problem(NamedTuple):

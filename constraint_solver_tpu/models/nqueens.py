@@ -233,7 +233,7 @@ def make_nqueens_problem(
                 nqueens_neighborhood_scores,
             )
 
-            cand_hard = nqueens_neighborhood_scores(
+            cand_hard, row_min, row_arg = nqueens_neighborhood_scores(
                 rows, rc, dc, ac, c, r, removed, cur_score[0],
                 interpret=(use_pallas == "interpret"),
             )
@@ -254,15 +254,34 @@ def make_nqueens_problem(
             )  # [A, n]
             delta = 2 * (added - removed[:, None])
             cand_hard = cur_score[0] + delta.astype(jnp.float32)  # [A, n]
+            # Row min/argmin (first-index tie-break), the XLA mirror of the
+            # kernel's SMEM byproduct outputs.
+            row_min = jnp.min(cand_hard, axis=1)
+            row_arg = jnp.argmax(
+                cand_hard == row_min[:, None], axis=1
+            ).astype(jnp.int32)
         a_here = c.shape[0]
         hard_flat = cand_hard.reshape(-1)
         mv_cols = jnp.broadcast_to(c[:, None], (a_here, n)).reshape(-1)
         mv_rows = jnp.broadcast_to(rp, (a_here, n)).reshape(-1).astype(jnp.int32)
         valid = jnp.broadcast_to(col_valid[:, None], (a_here, n)).reshape(-1)
 
+        # First-pick hint for the engine's tabu pick (Neighborhood.hint_idx):
+        # the flat lex_argmin of the block, assembled from per-row minima in
+        # O(A) instead of a full [A*n] reduction pass over HBM.  Exactness
+        # (incl. first-index tie-breaking): per-row argmin takes the lowest
+        # row among ties, and the cross-row argmin takes the lowest column
+        # index among ties, which is exactly the lowest flat index.  The
+        # soft channel is identically 0 here, so plain min == lex min.
+        row_min_v = jnp.where(col_valid, row_min, jnp.inf)
+        j_best = jnp.argmax(row_min_v == jnp.min(row_min_v)).astype(jnp.int32)
+        hint_idx = j_best * n + row_arg[j_best]
+
         if nbr_axis is not None:
             # Local top-k then all_gather over the nbr axis: the engine sees
             # a small replicated candidate list instead of the sharded block.
+            # No hint here — the gathered list is tiny, the engine's full
+            # argmin over it is cheap.
             k_keep = min(nbr_keep, a_here * n)
             neg, idxs = jax.lax.top_k(
                 jnp.where(valid, -hard_flat, -jnp.inf), k_keep
@@ -278,10 +297,12 @@ def make_nqueens_problem(
             mv_cols = gather(mv_cols)
             mv_rows = gather(mv_rows)
             valid = gather(valid)
+            hint_idx = None
 
         scores = make_score(hard_flat)
         return Neighborhood(
-            scores=scores, moves=(mv_cols, mv_rows), valid=valid
+            scores=scores, moves=(mv_cols, mv_rows), valid=valid,
+            hint_idx=hint_idx,
         )
 
     def move_fp(state, cur_fp, moves, idx):

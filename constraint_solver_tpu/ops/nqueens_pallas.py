@@ -11,13 +11,26 @@ lib.rs:74-87):
     score(j, r') = cur + 2 * [ (rc[r'] - [r'==r_j]) + (dc[d'] - [d'==d_j])
                               + (ac[a'] - [a'==a_j]) - removed_j ]
 
-Key TPU considerations:
-- all tables fit VMEM (n=4096 -> ~100 KB); the kernel is one grid cell per
-  sampled column, each emitting one (1, n) lane-aligned row;
-- the diagonal lookups dc[r' - c_j + n-1] / ac[r' + c_j] are CONTIGUOUS
-  slices of the diagonal tables, expressed with pl.ds dynamic slices;
+Key TPU considerations (measurements: bench/kernel_iso.py, P=256, n=1000,
+A=50 lockstep iterations):
+
+- all tables fit VMEM; the kernel runs one fori step per sampled column,
+  each emitting one (1, n) lane-aligned row;
+- the dominant cost is the dynamic LANE ROLL that realizes each row's
+  diagonal-table window (Mosaic can't prove dynamic lane offsets are
+  128-aligned, so window extraction is roll-to-lane-0 + aligned static
+  slice).  The two f32 rolls (dc then ac) measured 1.72 of the 2.88
+  ms/iter kernel total.  Two halving schemes fail to lower on the
+  current Mosaic: int16 tables (dynamic rotate requires 32-bit data:
+  "Rotate with non-32-bit data") and packing ac reversed into the high
+  16 bits of one i32 roll (undoing the reversal needs lax.rev, which
+  has no TPU lowering rule) — see bench/kernel_iso.py for both probes;
 - per-column scalars (chosen col, current row, removed term) are
-  scalar-prefetched into SMEM so slice offsets are known at program start.
+  scalar-prefetched into SMEM so slice offsets are known at program start;
+- the kernel also emits each row's min and argmin (SMEM outputs) as a
+  byproduct: the engine uses them as its first tabu pick
+  (``Neighborhood.hint_idx``), replacing a separate full [A*n] argmin
+  pass over the block in HBM (~0.5 ms/iter, bench/ls_isolation.py).
 """
 
 from __future__ import annotations
@@ -30,12 +43,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(n, c_ref, r_ref, removed_ref, cur_ref, rc_ref, dc_ref, ac_ref, out_ref):
+def _kernel(
+    n, c_ref, r_ref, removed_ref, cur_ref, rc_ref, dc_ref, ac_ref,
+    out_ref, min_ref, arg_ref,
+):
     # Shapes are lane-padded: rc [1, n_pad], dc/ac [1, 2*n_pad], out [A, n_pad].
     n_pad = rc_ref.shape[1]
     a = out_ref.shape[0]
     cur = cur_ref[0]
     rp = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    in_range = rp < n
     rc = rc_ref[0, :].reshape(1, n_pad)
     dc_full = dc_ref[0, :].reshape(1, 2 * n_pad)
     ac_full = ac_ref[0, :].reshape(1, 2 * n_pad)
@@ -44,11 +61,12 @@ def _kernel(n, c_ref, r_ref, removed_ref, cur_ref, rc_ref, dc_ref, ac_ref, out_r
         c_j = c_ref[j]
         r_j = r_ref[j]
         removed_j = removed_ref[j]
-        # dc[rp - c_j + (n-1)] is the contiguous window starting at
-        # n-1-c_j; Mosaic can't prove dynamic lane offsets are 128-aligned,
-        # so realize the window as a dynamic ROLL (start -> lane 0) followed
-        # by an aligned static slice.  No wraparound contamination: window
-        # start <= n-1 and the table is 2*n_pad long.
+        # Two dynamic rolls per row (dc and ac windows).  Sharing ONE roll
+        # by packing ac reversed into the high 16 bits fails to lower:
+        # Mosaic implements neither 16-bit dynamic rotate ("Rotate with
+        # non-32-bit data") nor lax.rev (the static flip that would undo
+        # the reversal).  No wraparound contamination: window start
+        # o = n-1-c_j <= n-1 and reads stay within the 2*n_pad table.
         dc_sl = pltpu.roll(dc_full, c_j - (n - 1), axis=1)[:, :n_pad]
         ac_sl = pltpu.roll(ac_full, -c_j, axis=1)[:, :n_pad]
         same_r = (rp == r_j).astype(jnp.float32)
@@ -56,7 +74,15 @@ def _kernel(n, c_ref, r_ref, removed_ref, cur_ref, rc_ref, dc_ref, ac_ref, out_r
         # anti-diagonal — within its own column only the no-op move back to
         # r_j re-shares the vacated queen's lines.
         added = (rc - same_r) + (dc_sl - same_r) + (ac_sl - same_r)
-        out_ref[pl.ds(j, 1), :] = cur + 2.0 * (added - removed_j)
+        row = cur + 2.0 * (added - removed_j)
+        out_ref[pl.ds(j, 1), :] = row
+        # Row min/argmin byproduct (padding excluded); first-index
+        # tie-break to match ops/lex.lex_argmin exactly.
+        row_m = jnp.where(in_range, row, jnp.inf)
+        m = jnp.min(row_m)
+        min_ref[j] = m
+        # f32 operand: Mosaic's argmax lowering supports only float32.
+        arg_ref[j] = jnp.argmax((row_m == m).astype(jnp.float32)).astype(jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, a, body, 0)
@@ -73,8 +99,8 @@ def nqueens_neighborhood_scores(
     removed: jax.Array,  # float32[A] (rc[r]-1)+(dc[d]-1)+(ac[a]-1) per column
     cur_hard: jax.Array,  # float32[] current total conflicts
     interpret: bool = False,
-) -> jax.Array:
-    """Returns float32[A, n] candidate scores."""
+):
+    """Returns (scores float32[A, n], row_min float32[A], row_arg int32[A])."""
     n = rc.shape[0]
     a = c.shape[0]
     del rows
@@ -90,12 +116,20 @@ def nqueens_neighborhood_scores(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dc
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ac
         ],
-        out_specs=pl.BlockSpec((a, n_pad), lambda *_: (0, 0)),
+        out_specs=(
+            pl.BlockSpec((a, n_pad), lambda *_: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
     )
-    out = pl.pallas_call(
+    out, row_min, row_arg = pl.pallas_call(
         functools.partial(_kernel, n),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((a, n_pad), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((a, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((a,), jnp.float32),
+            jax.ShapeDtypeStruct((a,), jnp.int32),
+        ),
         interpret=interpret,
     )(
         c,
@@ -106,4 +140,4 @@ def nqueens_neighborhood_scores(
         dc_p,
         ac_p,
     )
-    return out[:, :n]
+    return out[:, :n], row_min, row_arg

@@ -24,7 +24,7 @@ def test_kernel_matches_full_rescore():
         aa = r + c
         removed = (st.rc[r] - 1) + (st.dc[d] - 1) + (st.ac[aa] - 1)
         cur = jnp.float32(int(total_conflicts(rows)))
-        scores = nqueens_neighborhood_scores(
+        scores, row_min, row_arg = nqueens_neighborhood_scores(
             st.rows, st.rc, st.dc, st.ac, c, r, removed, cur, interpret=True
         )
         assert scores.shape == (a, n)
@@ -34,6 +34,13 @@ def test_kernel_matches_full_rescore():
                 assert float(scores[j, rp]) == int(total_conflicts(applied)), (
                     f"n={n} col {int(c[j])} row {rp}"
                 )
+        # Row min/argmin byproducts: exact, first-index tie-break.
+        np.testing.assert_array_equal(
+            np.asarray(row_min), np.asarray(scores).min(axis=1)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(row_arg), np.asarray(scores).argmin(axis=1)
+        )
 
 
 def test_problem_with_pallas_neighborhood_matches_xla():
@@ -51,3 +58,24 @@ def test_problem_with_pallas_neighborhood_matches_xla():
     np.testing.assert_array_equal(np.asarray(nb_x.valid), np.asarray(nb_p.valid))
     for mx, mp in zip(nb_x.moves, nb_p.moves):
         np.testing.assert_array_equal(np.asarray(mx), np.asarray(mp))
+    # hint_idx must be the exact flat lex_argmin (same on both paths).
+    from constraint_solver_tpu.ops.lex import lex_argmin
+
+    want = int(lex_argmin(nb_x.scores, nb_x.valid))
+    assert int(nb_x.hint_idx) == want
+    assert int(nb_p.hint_idx) == want
+
+
+def test_hint_matches_argmin_over_random_states():
+    n = 20
+    p = make_nqueens_problem(n)
+    from constraint_solver_tpu.ops.lex import lex_argmin
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        rows = jnp.asarray(rng.integers(0, n, size=n), jnp.int32)
+        st = build_state(rows)
+        nb = p.neighborhood(st, p.score(st), jax.random.key(trial))
+        if not bool(nb.valid.any()):
+            continue
+        assert int(nb.hint_idx) == int(lex_argmin(nb.scores, nb.valid)), trial
