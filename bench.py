@@ -94,7 +94,12 @@ def main() -> None:
 
     log(f"devices: {jax.devices()}")
     on_tpu = jax.devices()[0].platform != "cpu"
-    problem = make_nqueens_problem(N, use_pallas=on_tpu)
+    # BENCH_SAMPLING=approx swaps the exact Gumbel top-k column sample for
+    # approx_max_k (A/B knob; documented divergence in models/nqueens.py).
+    problem = make_nqueens_problem(
+        N, use_pallas=on_tpu,
+        col_sampling=os.environ.get("BENCH_SAMPLING", "exact"),
+    )
     moves_per_ls_iter = problem.width
     config = SolverConfig(
         seed="bench",

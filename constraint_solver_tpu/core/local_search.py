@@ -132,7 +132,7 @@ def ls_execute(
         # available; retries track a tiny exclusion list instead of
         # carrying/rewriting the full [W] validity mask through the loop.
         retries = params.tabu_retries
-        n_valid = jnp.sum(nb.valid)
+        n_valid = nb.n_valid if nb.n_valid is not None else jnp.sum(nb.valid)
         iota_w = jnp.arange(nb.valid.shape[0])
 
         idx0 = (

@@ -45,12 +45,19 @@ class Neighborhood(NamedTuple):
     ``lex_argmin(scores, valid)`` including first-index tie-breaking — the
     engine uses it verbatim as the first tabu pick and only falls back to
     full-width masked argmin on a (measured-rare) tabu hit.
+
+    ``n_valid`` (optional): the exact count of True entries in ``valid``,
+    when the proposer knows it algebraically (e.g. nqueens' mask is a
+    [A] column mask broadcast over n rows, so the count is
+    sum(col_valid) * n) — saves the engine a [W]-wide reduction per
+    iteration.
     """
 
     scores: jax.Array
     moves: Any
     valid: jax.Array
     hint_idx: jax.Array | None = None
+    n_valid: jax.Array | None = None
 
 
 class Problem(NamedTuple):

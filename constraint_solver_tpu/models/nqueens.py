@@ -153,6 +153,7 @@ def make_nqueens_problem(
     nbr_axis: str | None = None,
     nbr_shards: int = 1,
     nbr_keep: int = 64,
+    col_sampling: str = "exact",
 ) -> Problem:
     """Build the N-Queens problem.  ``sample_cols`` (A) is the number of
     conflicted columns sampled per proposal; default ``max(1, n // 20)``
@@ -202,7 +203,15 @@ def make_nqueens_problem(
         logits = jnp.log(cs.astype(jnp.float32) + 1e-4)
         logits = jnp.where(conflicted, logits, -jnp.inf)
         gumbel = jax.random.gumbel(k_gumbel, (n,))
-        _, chosen_cols = jax.lax.top_k(logits + gumbel, a_max)  # [A]
+        if col_sampling == "approx":
+            # approx_max_k skips the exact partial sort (measured 0.5
+            # ms/lockstep-iteration at P=256, n=1000 — bench/ls_isolation
+            # V4); recall ~0.95 slightly perturbs Gumbel inclusion
+            # probabilities, the same divergence class as the Gumbel
+            # sampling itself (docstring note above).  Deterministic.
+            _, chosen_cols = jax.lax.approx_max_k(logits + gumbel, a_max)
+        else:
+            _, chosen_cols = jax.lax.top_k(logits + gumbel, a_max)  # [A]
 
         # amount = clamp(n/20, 1, #conflicted); num_cols ~ U[1, amount]
         # (ref lib.rs:196-203).
@@ -300,9 +309,15 @@ def make_nqueens_problem(
             hint_idx = None
 
         scores = make_score(hard_flat)
+        # Exact valid-count without a [A*n]-wide reduction: the mask is a
+        # column mask broadcast over the n rows.
+        n_valid = (
+            None if nbr_axis is not None
+            else jnp.sum(col_valid.astype(jnp.int32)) * n
+        )
         return Neighborhood(
             scores=scores, moves=(mv_cols, mv_rows), valid=valid,
-            hint_idx=hint_idx,
+            hint_idx=hint_idx, n_valid=n_valid,
         )
 
     def move_fp(state, cur_fp, moves, idx):

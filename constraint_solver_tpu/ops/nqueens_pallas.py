@@ -27,10 +27,14 @@ A=50 lockstep iterations):
   has no TPU lowering rule) — see bench/kernel_iso.py for both probes;
 - per-column scalars (chosen col, current row, removed term) are
   scalar-prefetched into SMEM so slice offsets are known at program start;
-- the kernel also emits each row's min and argmin (SMEM outputs) as a
-  byproduct: the engine uses them as its first tabu pick
-  (``Neighborhood.hint_idx``), replacing a separate full [A*n] argmin
-  pass over the block in HBM (~0.5 ms/iter, bench/ls_isolation.py).
+- the kernel also emits each row's min and argmin as a byproduct — NOT
+  with per-row scalar reductions into SMEM (those measured +4.3
+  ms/lockstep-iteration, 2.9 -> 7.2), but as one vectorized phase-2 pass
+  over the VMEM-resident block with (delta, lane) packed into a single
+  int32 row-min key.  The engine uses the decoded minima as its first
+  tabu pick (``Neighborhood.hint_idx``), replacing a separate full
+  [A*n] argmin pass over the block in HBM (~0.5 ms/iter,
+  bench/ls_isolation.py).
 """
 
 from __future__ import annotations
@@ -45,14 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     n, c_ref, r_ref, removed_ref, cur_ref, rc_ref, dc_ref, ac_ref,
-    out_ref, min_ref, arg_ref,
+    out_ref, key_ref,
 ):
     # Shapes are lane-padded: rc [1, n_pad], dc/ac [1, 2*n_pad], out [A, n_pad].
     n_pad = rc_ref.shape[1]
     a = out_ref.shape[0]
     cur = cur_ref[0]
     rp = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-    in_range = rp < n
     rc = rc_ref[0, :].reshape(1, n_pad)
     dc_full = dc_ref[0, :].reshape(1, 2 * n_pad)
     ac_full = ac_ref[0, :].reshape(1, 2 * n_pad)
@@ -74,18 +77,27 @@ def _kernel(
         # anti-diagonal — within its own column only the no-op move back to
         # r_j re-shares the vacated queen's lines.
         added = (rc - same_r) + (dc_sl - same_r) + (ac_sl - same_r)
-        row = cur + 2.0 * (added - removed_j)
-        out_ref[pl.ds(j, 1), :] = row
-        # Row min/argmin byproduct (padding excluded); first-index
-        # tie-break to match ops/lex.lex_argmin exactly.
-        row_m = jnp.where(in_range, row, jnp.inf)
-        m = jnp.min(row_m)
-        min_ref[j] = m
-        # f32 operand: Mosaic's argmax lowering supports only float32.
-        arg_ref[j] = jnp.argmax((row_m == m).astype(jnp.float32)).astype(jnp.int32)
+        out_ref[pl.ds(j, 1), :] = cur + 2.0 * (added - removed_j)
         return 0
 
     jax.lax.fori_loop(0, a, body, 0)
+
+    # Phase 2 — per-row min+argmin as ONE vectorized pass over the
+    # VMEM-resident block.  Per-row scalar reductions with SMEM stores
+    # inside the fori measured +4.3 ms/lockstep-iteration (2.9 -> 7.2,
+    # bench/ls_isolation.py); this pass is a handful of [A, n_pad] vector
+    # ops.  The score delta (score - cur = 2*(added - removed), a bounded
+    # small integer in [-6n, 6n]) and the lane index pack into one int32
+    # key, so a single row-min yields value AND first-index argmin:
+    #     key = (delta + 6n) * n_pad + lane     (exact: < 12n * n_pad)
+    # Ties in delta resolve to the smaller lane, matching lex_argmin.
+    block = out_ref[...]
+    rp_b = jax.lax.broadcasted_iota(jnp.int32, (a, n_pad), 1)
+    delta = (block - cur).astype(jnp.int32)
+    key = (delta + 6 * n) * n_pad + rp_b
+    big = jnp.int32(2_000_000_000)
+    key = jnp.where(rp_b < n, key, big)
+    key_ref[...] = jnp.min(key, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -105,6 +117,11 @@ def nqueens_neighborhood_scores(
     a = c.shape[0]
     del rows
     n_pad = ((n + 127) // 128) * 128
+    if 12 * n * (n_pad + 1) >= 2**31:
+        # The (delta, lane) int32 key packing is exact only while
+        # 12n * n_pad fits int32 (n <= ~13k).  Boards past that use the
+        # XLA neighborhood path (make_nqueens_problem(use_pallas=False)).
+        raise ValueError(f"nqueens Pallas kernel key packing overflows at n={n}")
     rc_p = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(rc)
     dc_p = jnp.zeros((1, 2 * n_pad), jnp.float32).at[0, : 2 * n - 1].set(dc)
     ac_p = jnp.zeros((1, 2 * n_pad), jnp.float32).at[0, : 2 * n - 1].set(ac)
@@ -118,17 +135,15 @@ def nqueens_neighborhood_scores(
         ],
         out_specs=(
             pl.BlockSpec((a, n_pad), lambda *_: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((a, 1), lambda *_: (0, 0)),
         ),
     )
-    out, row_min, row_arg = pl.pallas_call(
+    out, key = pl.pallas_call(
         functools.partial(_kernel, n),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((a, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((a,), jnp.float32),
-            jax.ShapeDtypeStruct((a,), jnp.int32),
+            jax.ShapeDtypeStruct((a, 1), jnp.int32),
         ),
         interpret=interpret,
     )(
@@ -140,4 +155,7 @@ def nqueens_neighborhood_scores(
         dc_p,
         ac_p,
     )
+    key = key[:, 0]
+    row_arg = key % n_pad
+    row_min = cur_hard + (key // n_pad - 6 * n).astype(jnp.float32)
     return out[:, :n], row_min, row_arg
