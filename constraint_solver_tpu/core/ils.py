@@ -85,11 +85,32 @@ class SolverConfig:
     iterated_local_search_max_iterations: int = 10_000
     max_allow_no_improvement_for: int = 5
     restart_every: int = 50
+    # Tabu resolution: None = auto (the reference-exact [W, T] filter when
+    # width * ring fits the budget below, else pick-then-check — see
+    # LsParams.tabu_exact_filter); True/False forces a mode.
+    tabu_exact_filter: bool | None = None
 
-    def ls_params(self) -> LsParams:
+    # Exact-filter auto threshold: candidate-width x ring-capacity compares
+    # per iteration.  2^21 keeps the membership matrix in the same cost
+    # class as the candidate block itself for the small-W domains that
+    # need it (scheduling: the pick-then-check budget exhausted on 59.8%
+    # of iterations, bench/tabu_exhaustion.py) while leaving the 50k-wide
+    # nqueens block (which measured 0 retries) on the cheap path.
+    _EXACT_FILTER_BUDGET = 2**21
+
+    def ls_params(self, problem_width: int | None = None) -> LsParams:
+        if self.tabu_exact_filter is not None:
+            exact = self.tabu_exact_filter
+        else:
+            exact = (
+                problem_width is not None
+                and 0 < problem_width * self.all_solutions_capacity
+                <= self._EXACT_FILTER_BUDGET
+            )
         return LsParams(
             max_iterations=self.local_search_max_iterations,
             allow_no_improvement_for=self.max_allow_no_improvement_for,
+            tabu_exact_filter=exact,
         )
 
     def ils_params(self) -> IlsParams:
@@ -283,7 +304,9 @@ class Solver:
         self._wall = 0.0
         key = seed_string_to_key(config.seed)
         self.state = ils_init(problem, config, key)
-        progs = _solver_programs(problem, config.ls_params(), config.ils_params())
+        progs = _solver_programs(
+            problem, config.ls_params(problem.width), config.ils_params()
+        )
         self._round_jit = progs.round
         self._chunk_jit = progs.chunk
         self._best_score_jit = progs.best_score

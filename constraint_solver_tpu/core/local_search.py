@@ -47,8 +47,19 @@ class LsParams(NamedTuple):
     # Tabu is resolved pick-then-check: argmin, fingerprint the winner,
     # re-pick if tabu — at most this many times.  (The reference filters
     # every candidate before scoring, ref local_search.rs:319; hashing all
-    # W candidates against the whole ring would dominate the device time.)
+    # W candidates against the whole ring would dominate the device time
+    # for WIDE neighborhoods.)
     tabu_retries: int = 8
+    # The reference's EXACT filter-every-candidate (ref local_search.rs:319):
+    # fingerprint all W candidates (O(1) incremental each), mask the whole
+    # neighborhood against the ring in one [W, T] op, and pick the best
+    # non-tabu candidate.  Affordable — and measured necessary — for
+    # small-W domains: the dense scheduling proposer exhausted the retry
+    # budget on 59.8% of iterations (bench/tabu_exhaustion.py, 31d x 7e on
+    # chip), while nqueens-1000's 50k-wide block never retries at all
+    # (0/12,800) and would pay 50k x T compares per iteration here.
+    # SolverConfig auto-enables this when width * ring <= ~2M.
+    tabu_exact_filter: bool = False
 
 
 class _LsCarry(NamedTuple):
@@ -71,6 +82,55 @@ class _LsCarry(NamedTuple):
 
 def _select(pred: jax.Array, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _pick_then_check(problem, params, nb, tabu, c, n_valid, iota_w, retries):
+    """Pick-then-check tabu resolution for WIDE neighborhoods: take the
+    lexicographic best candidate, fingerprint it in O(1), and re-pick
+    (excluding already examined candidates) while it is tabu, examining at
+    most ``tabu_retries`` candidates.  Mirrors the reference's "tabu
+    candidates are never chosen" invariant without the O(W x T) membership
+    matrix.  The first pick runs OUTSIDE the retry loop (it is the only one
+    that ever executes in practice — measured first-pick tabu-hit rate
+    0/12,800 on nqueens-1000, bench/ls_isolation.py) and uses the
+    proposer's ``hint_idx`` when available; retries track a tiny exclusion
+    list instead of carrying/rewriting the full [W] validity mask through
+    the loop.  Returns (idx, cand_fp, found, exhausted_event)."""
+    idx0 = (
+        nb.hint_idx
+        if nb.hint_idx is not None
+        else lex_argmin(nb.scores, nb.valid)
+    )
+    idx0 = idx0.astype(jnp.int32)
+    fp0 = problem.move_fp(c.state, c.fp, nb.moves, idx0)
+    found0 = (~tabu.is_tabu(fp0[None, :])[0]) & (n_valid > 0)
+    excl0 = jnp.full((retries,), -1, jnp.int32).at[0].set(idx0)
+
+    def pick_cond(p):
+        _idx, _fp, found, tries, _excl = p
+        # tries counts candidates examined so far; stop when found, at
+        # the retry budget, or when every valid candidate was examined.
+        return (~found) & (tries < retries) & (tries < n_valid)
+
+    def pick_body(p):
+        _idx, _fp, _found, tries, excl = p
+        mask = nb.valid
+        for k in range(retries):  # static unroll; -1 slots never match
+            mask = mask & (iota_w != excl[k])
+        idx = lex_argmin(nb.scores, mask).astype(jnp.int32)
+        fp = problem.move_fp(c.state, c.fp, nb.moves, idx)
+        hit = tabu.is_tabu(fp[None, :])[0]
+        excl = jax.lax.dynamic_update_index_in_dim(excl, idx, tries, 0)
+        return (idx, fp, ~hit, tries + 1, excl)
+
+    idx, cand_fp, found, tries, _ = jax.lax.while_loop(
+        pick_cond, pick_body, (idx0, fp0, found0, jnp.int32(1), excl0)
+    )
+    # Retry-budget exhaustion: stopped without a non-tabu winner while
+    # unexamined valid candidates remained (measured divergence, see
+    # _LsCarry).
+    exhausted_event = (~found) & (n_valid > tries)
+    return idx, cand_fp, found, exhausted_event
 
 
 def ls_execute(
@@ -120,55 +180,30 @@ def ls_execute(
         key, k_nb = jax.random.split(c.key)
         nb = problem.neighborhood(c.state, c.score, k_nb)
 
-        # Pick-then-check tabu resolution: take the lexicographic best
-        # candidate, fingerprint it in O(1), and re-pick (excluding already
-        # examined candidates) while it is tabu, examining at most
-        # ``tabu_retries`` candidates.  Mirrors the reference's "tabu
-        # candidates are never chosen" invariant without materializing the
-        # O(W x T) membership matrix.  The first pick runs OUTSIDE the
-        # retry loop (it is the only one that ever executes in practice —
-        # measured first-pick tabu-hit rate 0/12800 on nqueens-1000,
-        # bench/ls_isolation.py) and uses the proposer's ``hint_idx`` when
-        # available; retries track a tiny exclusion list instead of
-        # carrying/rewriting the full [W] validity mask through the loop.
         retries = params.tabu_retries
         n_valid = nb.n_valid if nb.n_valid is not None else jnp.sum(nb.valid)
         iota_w = jnp.arange(nb.valid.shape[0])
 
-        idx0 = (
-            nb.hint_idx
-            if nb.hint_idx is not None
-            else lex_argmin(nb.scores, nb.valid)
-        )
-        idx0 = idx0.astype(jnp.int32)
-        fp0 = problem.move_fp(c.state, c.fp, nb.moves, idx0)
-        found0 = (~tabu.is_tabu(fp0[None, :])[0]) & (n_valid > 0)
-        excl0 = jnp.full((retries,), -1, jnp.int32).at[0].set(idx0)
-
-        def pick_cond(p):
-            _idx, _fp, found, tries, _excl = p
-            # tries counts candidates examined so far; stop when found, at
-            # the retry budget, or when every valid candidate was examined.
-            return (~found) & (tries < retries) & (tries < n_valid)
-
-        def pick_body(p):
-            _idx, _fp, _found, tries, excl = p
-            mask = nb.valid
-            for k in range(retries):  # static unroll; -1 slots never match
-                mask = mask & (iota_w != excl[k])
-            idx = lex_argmin(nb.scores, mask).astype(jnp.int32)
-            fp = problem.move_fp(c.state, c.fp, nb.moves, idx)
-            hit = tabu.is_tabu(fp[None, :])[0]
-            excl = jax.lax.dynamic_update_index_in_dim(excl, idx, tries, 0)
-            return (idx, fp, ~hit, tries + 1, excl)
-
-        idx, cand_fp, found, tries, _ = jax.lax.while_loop(
-            pick_cond, pick_body, (idx0, fp0, found0, jnp.int32(1), excl0)
-        )
-        # Retry-budget exhaustion: stopped without a non-tabu winner while
-        # unexamined valid candidates remained (measured divergence, see
-        # _LsCarry).
-        exhausted_event = (~found) & (n_valid > tries)
+        if params.tabu_exact_filter:
+            # Reference-exact filter-then-pick (ref local_search.rs:319):
+            # all W candidate fingerprints (O(1) incremental each), one
+            # [W, T] ring-membership op, best non-tabu candidate.  An
+            # all-tabu neighborhood is EMPTY to the reference (its filter
+            # runs before scoring), so found=False here flows into the
+            # same no-candidate handling below; the retry-exhaustion
+            # divergence does not exist on this path.
+            fps_all = jax.vmap(
+                lambda i: problem.move_fp(c.state, c.fp, nb.moves, i)
+            )(iota_w)
+            ok = nb.valid & ~tabu.is_tabu(fps_all)
+            found = jnp.any(ok)
+            idx = lex_argmin(nb.scores, ok).astype(jnp.int32)
+            cand_fp = fps_all[idx]
+            exhausted_event = jnp.asarray(False)
+        else:
+            idx, cand_fp, found, exhausted_event = _pick_then_check(
+                problem, params, nb, tabu, c, n_valid, iota_w, retries
+            )
 
         cand_score = nb.scores[idx]
         cand_state = problem.apply_move(c.state, nb.moves, idx)
@@ -177,8 +212,10 @@ def ls_execute(
         # descent, local_search.rs:336-338) from tabu-retry exhaustion —
         # valid non-tabu candidates may remain beyond the retry budget, so
         # that case counts as a non-improving iteration and the descent
-        # continues (it still ends via the no-improvement bail).
-        empty_nbr = n_valid == 0
+        # continues (it still ends via the no-improvement bail).  On the
+        # exact-filter path the reference's tabu filter precedes scoring,
+        # so an all-tabu neighborhood IS empty and breaks the descent.
+        empty_nbr = ~found if params.tabu_exact_filter else (n_valid == 0)
 
         improved = lex_less(cand_score, c.score) & any_valid
         step = any_valid & ~hit_best

@@ -294,7 +294,7 @@ class PopulationSolver:
         self.state = init_jit(key, temps)
 
         progs = _population_programs(
-            problem, config.ls_params(), config.ils_params(),
+            problem, config.ls_params(problem.width), config.ils_params(),
             k_exchange, cull_frac, mesh,
         )
         self._round_jit = progs.round

@@ -409,7 +409,11 @@ class SeqShardedSolver:
         self.problem = make_seq_scheduling_problem(spec, mesh, axis, window_size)
         specs = seq_state_specs(axis)
 
-        problem, ls_p, ils_p = self.problem, config.ls_params(), config.ils_params()
+        problem, ls_p, ils_p = (
+            self.problem,
+            config.ls_params(self.problem.width),
+            config.ils_params(),
+        )
 
         init_fn = jax.jit(
             jax.shard_map(

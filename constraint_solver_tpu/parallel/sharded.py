@@ -116,7 +116,7 @@ class ShardedPopulationSolver(PopulationSolver):
         # every other jitted program (probe, best_score, global_best, init)
         # is sharding-agnostic and inherited as-is.
         self._chunk_jit = _sharded_chunk_program(
-            problem, config.ls_params(), config.ils_params(),
+            problem, config.ls_params(problem.width), config.ils_params(),
             k_exchange, cull_frac, mesh,
         )
 
