@@ -4,12 +4,15 @@ The LS isolation bench (bench/ls_isolation.py) shows the [A, n] score block
 at ~2.4 ms/lockstep-iteration (P=256, n=1000, A=50) — half the whole LS body.
 This script times kernel variants to find where that goes:
 
-  base     — ops/nqueens_pallas.py as shipped (2 f32 dynamic rolls per row)
+  base     — two f32 dynamic rolls per row (the shipped kernel's shape,
+             without the phase-2 min outputs)
   noroll   — rolls replaced by static slices (WRONG results; times the
-             everything-but-rolls share)
-  i16      — tables as int16 (counts <= 3n < 32768 exact), rolls on half
-             the vregs, f32 convert at the end
-  i16min   — i16 + per-row min/argmin emitted (the engine fast-path shape)
+             everything-but-rolls share).  Measured: rolls = 1.72 of the
+             2.88 ms/iter kernel
+  packed   — dc + reversed-ac in one i32 roll (ISO_PACKED=1): exact in
+             interpret mode, FAILS to lower on current Mosaic (lax.rev)
+  i16*     — int16-table variants (ISO_I16=1): FAIL to lower ("Rotate
+             with non-32-bit data")
 
 Each timed as vmap over P lanes, K iterations per dispatch via fori_loop,
 forced host transfer as the only trustworthy sync (docs/DESIGN.md).
