@@ -183,3 +183,42 @@ def test_solver_round_api():
     assert hard >= 0
     solver.cancel()
     assert solver.cancelled
+
+
+def test_step_and_chunk_trajectories_identical_across_restart():
+    """Per-round stepping (execute_round: per-lane select restart) and
+    chunked running (run: scalar-round lax.cond restart, see ils_round's
+    round_scalar) must produce bit-identical trajectories — including
+    across the every-50-rounds restart boundary (ref
+    iterated_local_search.rs:185-191)."""
+    import datetime
+
+    import numpy as np
+
+    from constraint_solver_tpu.models.scheduling import (
+        ScheduleSpec,
+        make_scheduling_problem,
+    )
+
+    # Scheduling never reaches (0, 0), so neither path converges early and
+    # all 60 rounds (crossing the round-50 restart) really execute.
+    spec = ScheduleSpec.from_dates(
+        datetime.date(2022, 5, 9), datetime.date(2022, 5, 24), 4
+    )
+    problem = make_scheduling_problem(spec, proposer="dense")
+    config = SolverConfig(
+        seed="restart-eq",
+        local_search_max_iterations=15,
+        iterated_local_search_max_iterations=60,
+        max_allow_no_improvement_for=3,
+        all_solution_iteration_expiry=500,
+    )
+    a = Solver(problem, config)
+    for _ in range(60):
+        a.execute_round()
+    b = Solver(problem, config)
+    b.run(max_rounds=60, chunk=8)
+
+    fix = lambda st: st._replace(key=jax.random.key_data(st.key))
+    for la, lb in zip(jax.tree.leaves(fix(a.state)), jax.tree.leaves(fix(b.state))):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
