@@ -102,7 +102,7 @@ def main():
     spec = ScheduleSpec.from_dates(
         datetime.date(2022, 5, 9), datetime.date(2022, 6, 8), 7
     )
-    sched = make_scheduling_problem(spec, window_size=100)
+    sched = make_scheduling_problem(spec, proposer="dense")
     sched_config = SolverConfig(
         seed="bench",
         local_search_max_iterations=1_000,

@@ -22,7 +22,16 @@ def main(argv=None):
     parser.add_argument("--days", type=int, default=31)
     parser.add_argument("--employees", "-e", type=int, default=7)
     parser.add_argument("--rounds", type=int, default=250)
-    parser.add_argument("--window-size", type=int, default=100)
+    parser.add_argument(
+        "--proposer", choices=["dense", "random", "rescore", "systematic"],
+        default=None,
+        help="neighborhood proposer (default: dense, the TPU-first block; "
+        "random = the reference's window of random moves)")
+    parser.add_argument(
+        "--window-size", type=int, default=None,
+        help="random/rescore proposers only: moves sampled per iteration "
+        "(ref window_size=100); passing it without --proposer selects the "
+        "reference's random proposer")
     parser.add_argument("--population", "-p", type=int, default=1)
     parser.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     parser.add_argument("--quiet", action="store_true")
@@ -61,7 +70,12 @@ def main(argv=None):
         presets.scheduling_cli(seed=args.seed),
         iterated_local_search_max_iterations=args.rounds,
     )
-    problem = make_scheduling_problem(spec, window_size=args.window_size)
+    # --window-size only shapes the random/rescore neighborhoods; giving it
+    # without --proposer means the caller wants the reference's windowed
+    # random proposer, not the dense block (where it would be a no-op).
+    proposer = args.proposer or ("random" if args.window_size else "dense")
+    problem = make_scheduling_problem(
+        spec, window_size=args.window_size or 100, proposer=proposer)
     t0 = time.time()
     from constraint_solver_tpu.utils.checkpoint import resume_and_run
 

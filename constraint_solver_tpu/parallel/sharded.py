@@ -119,9 +119,17 @@ class ShardedPopulationSolver(PopulationSolver):
             problem, config.ls_params(problem.width), config.ils_params(),
             k_exchange, cull_frac, mesh,
         )
+        # Per-tick stepping must match the parent's cadence (exchange only
+        # once per exchange_every-round chunk, never on execute_round), so
+        # the step program is the same sharded body with the exchange off.
+        self._step_jit = _sharded_chunk_program(
+            problem, config.ls_params(problem.width), config.ils_params(),
+            0, 0.0, mesh,
+        )
 
     def execute_round(self) -> None:
         # The inherited single-round program can't bind the ``nbr``
-        # collective outside shard_map; a 1-round chunk (with its exchange)
-        # is the per-tick step here.
-        self.state = self._chunk_jit(self.state, 1)
+        # collective outside shard_map; a 1-round exchange-free chunk is
+        # the per-tick step here (same semantics as the parent class:
+        # elites only exchange in run()'s periodic chunks).
+        self.state = self._step_jit(self.state, 1)

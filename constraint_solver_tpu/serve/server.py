@@ -39,6 +39,7 @@ _DEFAULTS = dict(
     seed="42",
     local_search_max_iterations=1_000,
     window_size=100,
+    proposer="dense",
     best_solutions_capacity=64,
     all_solutions_capacity=512,
     all_solution_iteration_expiry=1_000,
@@ -109,13 +110,21 @@ class SolverService:
         }}
         params["seed"] = str(params["seed"])
         for k in params:
-            if k not in ("seed",):
+            if k not in ("seed", "proposer"):
                 params[k] = int(params[k])
+        if params["proposer"] not in ("dense", "random", "rescore", "systematic"):
+            raise ValueError(f"unknown proposer {params['proposer']!r}")
         spec = ScheduleSpec.from_dates(start, end, len(employees), {
             employees.index(e): days for e, days in holidays.items()
         })
-        problem = make_scheduling_problem(spec, window_size=params["window_size"])
-        config_kwargs = {k: v for k, v in params.items() if k != "window_size"}
+        problem = make_scheduling_problem(
+            spec, window_size=params["window_size"],
+            proposer=params["proposer"],
+        )
+        config_kwargs = {
+            k: v for k, v in params.items()
+            if k not in ("window_size", "proposer")
+        }
         solver = Solver(problem, SolverConfig(**config_kwargs))
         return {"solver": solver, "start": start, "employees": employees}
 
