@@ -202,6 +202,22 @@ class ScheduleSpec:
         return self.weekdays() >= 5  # Sat=5, Sun=6
 
 
+def sample_random_moves(key, w_size: int, d_days: int, n_emp: int):
+    """W random moves ~ {ChangeDay: 1, SwapDays: 4} (ref lib.rs:435); swap
+    day pair uniform over distinct pairs via d1 + U[1, D) mod D
+    (ref choose_multiple(2), lib.rs:472-477).  Module-level so the
+    date-sharded solver (parallel/seq_solver.py) draws BIT-IDENTICAL moves
+    from the replicated key — its trajectory-equality contract with the
+    dense solver depends on this being the single definition."""
+    k_type, k_d1, k_off, k_emp = jax.random.split(key, 4)
+    is_swap = jax.random.uniform(k_type, (w_size,)) < 0.8
+    d1 = jax.random.randint(k_d1, (w_size,), 0, d_days, jnp.int32)
+    off = jax.random.randint(k_off, (w_size,), 1, max(d_days, 2), jnp.int32)
+    d2 = (d1 + off) % d_days
+    new_emp = jax.random.randint(k_emp, (w_size,), 0, n_emp, jnp.int32)
+    return is_swap, d1, d2, new_emp
+
+
 @lru_cache(maxsize=32)
 def make_scheduling_problem(
     spec: ScheduleSpec,
@@ -354,16 +370,7 @@ def make_scheduling_problem(
     # -- move sampling (shared by the delta and rescore paths) -------------
 
     def sample_moves(key):
-        """W random moves ~ {ChangeDay: 1, SwapDays: 4} (ref lib.rs:435);
-        swap day pair uniform over distinct pairs via d1 + U[1, D) mod D
-        (ref choose_multiple(2), lib.rs:472-477)."""
-        k_type, k_d1, k_off, k_emp = jax.random.split(key, 4)
-        is_swap = jax.random.uniform(k_type, (w_size,)) < 0.8
-        d1 = jax.random.randint(k_d1, (w_size,), 0, d_days, jnp.int32)
-        off = jax.random.randint(k_off, (w_size,), 1, max(d_days, 2), jnp.int32)
-        d2 = (d1 + off) % d_days
-        new_emp = jax.random.randint(k_emp, (w_size,), 0, n_emp, jnp.int32)
-        return is_swap, d1, d2, new_emp
+        return sample_random_moves(key, w_size, d_days, n_emp)
 
     def resolve_move(assign, move):
         """A move as two (day, old_emp -> new_emp) point changes.  For

@@ -53,6 +53,7 @@ from constraint_solver_tpu.models.scheduling import (
     ScheduleSpec,
     _make_perturb,
     region_deltas,
+    sample_random_moves,
 )
 from constraint_solver_tpu.ops.fingerprint import fingerprint_i32, fp_update
 from constraint_solver_tpu.ops.lex import make_score
@@ -195,15 +196,9 @@ def make_seq_scheduling_problem(
         return fingerprint_i32(_full(a_loc)[:d_days])
 
     def sample_moves(key):
-        # Byte-for-byte the dense sampler (models/scheduling.py
-        # sample_moves) — the replicated key yields identical moves.
-        k_type, k_d1, k_off, k_emp = jax.random.split(key, 4)
-        is_swap = jax.random.uniform(k_type, (w_size,)) < 0.8
-        d1 = jax.random.randint(k_d1, (w_size,), 0, d_days, jnp.int32)
-        off = jax.random.randint(k_off, (w_size,), 1, max(d_days, 2), jnp.int32)
-        d2 = (d1 + off) % d_days
-        new_emp = jax.random.randint(k_emp, (w_size,), 0, n_emp, jnp.int32)
-        return is_swap, d1, d2, new_emp
+        # THE dense sampler (single shared definition) — the replicated key
+        # yields identical moves, which trajectory equality depends on.
+        return sample_random_moves(key, w_size, d_days, n_emp)
 
     def _resolve_global(a_loc, is_swap, d1, d2, new_emp):
         """(e1, n1, e2, n2) for move vectors [*]: old employees resolved by
