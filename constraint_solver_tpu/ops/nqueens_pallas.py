@@ -95,7 +95,11 @@ def _kernel(
     rp_b = jax.lax.broadcasted_iota(jnp.int32, (a, n_pad), 1)
     delta = (block - cur).astype(jnp.int32)
     key = (delta + 6 * n) * n_pad + rp_b
-    big = jnp.int32(2_000_000_000)
+    # Padded-lane sentinel must exceed every legitimate key.  The caller
+    # guard keeps keys < 2^31 - 1, so int32 max is strictly larger — a
+    # fixed 2e9 constant could lose to a near-max key around n ~ 13k and
+    # silently decode a garbage row argmin.
+    big = jnp.iinfo(jnp.int32).max
     key = jnp.where(rp_b < n, key, big)
     key_ref[...] = jnp.min(key, axis=1, keepdims=True)
 
@@ -117,10 +121,11 @@ def nqueens_neighborhood_scores(
     a = c.shape[0]
     del rows
     n_pad = ((n + 127) // 128) * 128
-    if 12 * n * (n_pad + 1) >= 2**31:
-        # The (delta, lane) int32 key packing is exact only while
-        # 12n * n_pad fits int32 (n <= ~13k).  Boards past that use the
-        # XLA neighborhood path (make_nqueens_problem(use_pallas=False)).
+    if 12 * n * (n_pad + 1) >= 2**31 - 1:
+        # The (delta, lane) int32 key packing is exact only while every key
+        # stays strictly below the int32-max padded-lane sentinel
+        # (n <= ~13k).  Boards past that use the XLA neighborhood path
+        # (make_nqueens_problem(use_pallas=False)).
         raise ValueError(f"nqueens Pallas kernel key packing overflows at n={n}")
     rc_p = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(rc)
     dc_p = jnp.zeros((1, 2 * n_pad), jnp.float32).at[0, : 2 * n - 1].set(dc)

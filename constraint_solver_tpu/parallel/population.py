@@ -449,5 +449,14 @@ class PopulationSolver:
                 f"checkpoint is for population={meta.get('population', 1)}, "
                 f"solver has population={self.population}"
             )
+        # The chunk programs derive every lane's restart schedule from
+        # round[0] (lane-lockstep invariant: population_init zeroes all
+        # lanes and every round advances all lanes).  A hand-merged state
+        # with unequal rounds would silently restart lanes on wrong rounds.
+        if np.unique(np.asarray(self.state.round)).size != 1:
+            raise ValueError(
+                "checkpoint violates the lane-lockstep round invariant "
+                f"(rounds {np.unique(np.asarray(self.state.round))})"
+            )
         if self.mesh is not None:
             self.state = jax.device_put(self.state, pop_sharding(self.mesh))
