@@ -1,16 +1,23 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Headline metric: candidate moves evaluated per second on nqueens-1000 with a
-vmapped trajectory population on one TPU chip (BASELINE.json config[1]+[3]).
-Also measures (stderr): time-to-zero-violations on nqueens-1000 and the
-solution quality gate.
+vmapped trajectory population on one TPU chip (BASELINE.json config[1]+[3]),
+reported as the MEDIAN of BENCH_REPEATS fresh-state solves with min/max
+spread (single-sample walls through the axon tunnel drift ~10-15% across
+days; the spread distinguishes regression from noise).
+
+Quality-at-wall (the north star's actual contract, BASELINE.md): best score
+at fixed wall budgets (BENCH_BUDGETS, default 2.3/10/60 s) measured on BOTH
+sides — the complete reference algorithm in C++ (bench/baseline_full.cc: LS
+window truncation, tabu History, 1:5:1 acceptance, restart-every-50, full
+rescores; round budget uncapped so the wall is the binding limit) and the
+TPU population solver probed at the same walls.  The JSON line carries the
+{baseline, tpu} pairs for nqueens-1000 and scheduling-365d-20e.
 
 vs_baseline: the reference publishes no numbers and no Rust toolchain exists
-here (BASELINE.md), so the baseline is a faithful C++ -O3 stand-in for the
-reference's hot loop — full O(n^2) rescore per candidate clone (reference
-local_search.rs:315-323 + nqueens lib.rs:74-87) — compiled and measured on
-this host at bench time (bench/baseline_nqueens.cc).  Falls back to a
-recorded constant if g++ is unavailable.
+here (BASELINE.md), so baselines are faithful C++ -O3 stand-ins measured on
+this host at bench time.  Falls back to recorded constants if g++ is
+unavailable.
 """
 
 from __future__ import annotations
@@ -32,23 +39,37 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", 2))
 # at 2000 vs ~90% at 250; BENCH_NOTES.md sweep). 250 minimizes measured
 # time-to-zero.
 LS_MAX = int(os.environ.get("BENCH_LS_MAX", 250))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+BUDGETS = [float(b) for b in os.environ.get("BENCH_BUDGETS", "2.3,10,60").split(",")]
 FALLBACK_BASELINE = 7370.0  # measured 2026-08-17 on this host (see bench/)
+SCHED_FALLBACK_BASELINE = 4295.0  # measured 2026-08-19 on this host
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_baseline() -> float:
-    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "bench", "baseline_nqueens.cc")
-    exe = "/tmp/baseline_nqueens"
+def _build(src_name: str, exe: str) -> bool:
+    src = os.path.join(_DIR, "bench", src_name)
     try:
         if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-o", exe, src],
-                check=True, capture_output=True, timeout=120,
+                check=True, capture_output=True, timeout=180,
             )
+        return True
+    except Exception as e:  # noqa: BLE001
+        log(f"build {src_name} failed ({e})")
+        return False
+
+
+def measure_baseline() -> float:
+    exe = "/tmp/baseline_nqueens"
+    if not _build("baseline_nqueens.cc", exe):
+        return FALLBACK_BASELINE
+    try:
         out = subprocess.run(
             [exe, str(N), "4"], check=True, capture_output=True, timeout=60
         )
@@ -58,19 +79,11 @@ def measure_baseline() -> float:
         return FALLBACK_BASELINE
 
 
-SCHED_FALLBACK_BASELINE = 4295.0  # measured 2026-08-19 on this host (see bench/)
-
-
 def measure_scheduling_baseline(days: int, emps: int) -> float:
-    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "bench", "baseline_scheduling.cc")
     exe = "/tmp/baseline_scheduling"
+    if not _build("baseline_scheduling.cc", exe):
+        return SCHED_FALLBACK_BASELINE
     try:
-        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-o", exe, src],
-                check=True, capture_output=True, timeout=120,
-            )
         out = subprocess.run(
             [exe, str(days), str(emps), "4"],
             check=True, capture_output=True, timeout=60,
@@ -80,6 +93,52 @@ def measure_scheduling_baseline(days: int, emps: int) -> float:
         log(f"scheduling baseline failed ({e}); using recorded "
             f"{SCHED_FALLBACK_BASELINE}")
         return SCHED_FALLBACK_BASELINE
+
+
+def run_full_baseline(args: list[str], budgets: list[float]) -> dict | None:
+    """Complete reference-algorithm C++ baseline (bench/baseline_full.cc):
+    best score at each wall budget.  Round budget 0 = uncapped (the wall is
+    the binding limit — strictly stronger than the reference CLI config)."""
+    exe = "/tmp/baseline_full"
+    if not _build("baseline_full.cc", exe):
+        return None
+    budget_str = ",".join(str(b) for b in budgets)
+    try:
+        out = subprocess.run(
+            [exe, *args, budget_str] + (["42", "1", "0"] if args[0] == "scheduling"
+                                        else ["42", "0"]),
+            check=True, capture_output=True, timeout=max(budgets) + 60,
+        )
+        return json.loads(out.stdout.strip())
+    except Exception as e:  # noqa: BLE001
+        log(f"full baseline {args} failed ({e})")
+        return None
+
+
+def tpu_best_at_walls(make_solver, budgets: list[float], chunk: int) -> list:
+    """Run a fresh solver, probing the global best after every chunk; record
+    the best score as each wall budget passes.  Probes transfer 8 bytes.
+    Assumes programs are already compiled (warm-up done by the caller)."""
+    solver = make_solver()
+    out: list = []
+    bi = 0
+    t0 = time.time()
+    while bi < len(budgets):
+        solver.run(max_rounds=chunk, chunk=chunk)
+        best = solver.get_best_score()
+        el = time.time() - t0
+        while bi < len(budgets) and el >= budgets[bi]:
+            out.append(best)
+            bi += 1
+        if solver.is_finished() or best == (0.0, 0.0):
+            while bi < len(budgets):  # solved/finished: best can't regress
+                out.append(best)
+                bi += 1
+    return out
+
+
+def quality_leq(tpu: tuple, base_hard: float, base_soft: float) -> bool:
+    return (tpu[0], tpu[1]) <= (base_hard, base_soft)
 
 
 def main() -> None:
@@ -116,24 +175,53 @@ def main() -> None:
     solver.run(max_rounds=CHUNK, chunk=CHUNK)
     log(f"warm-up (compile) {time.time() - t0:.1f}s")
 
-    # --- timed solve from a fresh state -----------------------------------
+    # --- timed solves from fresh state, REPEATS times ---------------------
     # Throughput is measured over the productive portion of an actual solve
     # (converged trajectories gate their inner search off, so counted
-    # iterations are real work), and the same run yields
-    # time-to-zero-violations.
-    solver2 = PopulationSolver(problem, config, population=POP, exchange_every=CHUNK)
-    t0 = time.time()
-    solver2.run(chunk=CHUNK)  # stops at hard == 0 via the convergence probe
-    ttz = time.time() - t0
-    (hard, _), _ = solver2.get_best_solution()
-    iters = solver2.stats()["ls_iterations"]
-    moves = iters * moves_per_ls_iter
-    throughput = moves / ttz
-    log(f"time-to-zero-violations nqueens-{N} (P={POP}): {ttz:.2f}s best={hard}")
-    log(
-        f"throughput: {iters} LS iterations x {moves_per_ls_iter} moves "
-        f"in {ttz:.2f}s = {throughput:.3g} moves/s"
-    )
+    # iterations are real work); the same runs yield time-to-zero.  Median
+    # + spread across fresh-state repeats (same process, same compiled
+    # programs) separates real regressions from tunnel noise.
+    runs = []
+    for rep in range(max(1, REPEATS)):
+        s = PopulationSolver(problem, config, population=POP, exchange_every=CHUNK)
+        t0 = time.time()
+        s.run(chunk=CHUNK)  # stops at hard == 0 via the convergence probe
+        ttz = time.time() - t0
+        (hard, _), _ = s.get_best_solution()
+        iters = s.stats()["ls_iterations"]
+        moves = iters * moves_per_ls_iter
+        runs.append({"ttz": ttz, "tput": moves / ttz, "hard": hard})
+        log(f"run {rep}: ttz={ttz:.2f}s best={hard} "
+            f"throughput={moves / ttz:.3g} moves/s")
+    runs.sort(key=lambda r: r["tput"])
+    med = runs[len(runs) // 2]
+    throughput, ttz, hard = med["tput"], med["ttz"], max(r["hard"] for r in runs)
+    tputs = [r["tput"] for r in runs]
+    ttzs = sorted(r["ttz"] for r in runs)
+    log(f"median: ttz={ttz:.2f}s throughput={throughput:.3g} moves/s "
+        f"(spread {min(tputs):.3g}..{max(tputs):.3g})")
+
+    # --- quality-at-wall: nqueens-1000, both sides -------------------------
+    nq_quality = {}
+    base_nq = run_full_baseline(["nqueens", str(N)], BUDGETS)
+    if base_nq:
+        log(f"baseline nqueens best-at-wall: {base_nq['best_hard']}")
+        tpu_at = tpu_best_at_walls(
+            lambda: PopulationSolver(problem, config, population=POP,
+                                     exchange_every=CHUNK),
+            BUDGETS, CHUNK,
+        )
+        log(f"tpu nqueens best-at-wall: {tpu_at}")
+        ok = all(
+            quality_leq(t, bh, bs)
+            for t, bh, bs in zip(tpu_at, base_nq["best_hard"], base_nq["best_soft"])
+        )
+        nq_quality = {
+            "quality_budgets_s": BUDGETS,
+            "nqueens_baseline_best_at": base_nq["best_hard"],
+            "nqueens_tpu_best_at": [t[0] for t in tpu_at],
+            "nqueens_quality_ok": ok,
+        }
 
     # --- extra: parallel min-conflicts time-to-zero (beyond-parity mode) --
     from constraint_solver_tpu.models.nqueens_parallel import pmc_solve
@@ -149,9 +237,10 @@ def main() -> None:
         f"steps={int(out.steps)} time-to-zero={pmc_ttz:.2f}s"
     )
 
-    # --- extra: employee-scheduling 365d x 20e (the second north-star
-    # domain, BASELINE.json) — dense-block delta scoring, time-to-hard-zero
-    # + moves/s vs the reference-style C++ scheduling baseline. -----------
+    # --- employee-scheduling 365d x 20e (the second north-star domain,
+    # BASELINE.json) — dense-block delta scoring: throughput vs the
+    # reference-style C++ hot-loop baseline PLUS quality-at-wall vs the
+    # complete reference algorithm. -----------------------------------------
     sched_extras = {}
     try:
         import datetime
@@ -161,7 +250,7 @@ def main() -> None:
             make_scheduling_problem,
         )
 
-        s_days, s_emps, s_pop = 365, 20, 64
+        s_days, s_emps, s_pop = 365, 20, int(os.environ.get("BENCH_SPOP", 64))
         sched_baseline = measure_scheduling_baseline(s_days, s_emps)
         log(f"reference-style scheduling baseline: {sched_baseline:.0f} moves/s")
         d0 = datetime.date(2024, 1, 1)
@@ -201,6 +290,32 @@ def main() -> None:
             "scheduling365_wall_s": round(s_wall, 2),
             "scheduling365_vs_baseline": round(s_tput / sched_baseline, 1),
         }
+
+        base_sched = run_full_baseline(
+            ["scheduling", str(s_days), str(s_emps)], BUDGETS
+        )
+        if base_sched:
+            log(f"baseline scheduling best-at-wall: "
+                f"{list(zip(base_sched['best_hard'], base_sched['best_soft']))}")
+            tpu_at = tpu_best_at_walls(
+                lambda: PopulationSolver(sched_p, sched_cfg, population=s_pop,
+                                         exchange_every=2),
+                BUDGETS, 2,
+            )
+            log(f"tpu scheduling best-at-wall: {tpu_at}")
+            ok = all(
+                quality_leq(t, bh, bs)
+                for t, bh, bs in zip(
+                    tpu_at, base_sched["best_hard"], base_sched["best_soft"]
+                )
+            )
+            sched_extras.update({
+                "scheduling365_baseline_best_at":
+                    [[h, s] for h, s in zip(base_sched["best_hard"],
+                                            base_sched["best_soft"])],
+                "scheduling365_tpu_best_at": [[t[0], t[1]] for t in tpu_at],
+                "scheduling365_quality_ok": ok,
+            })
     except Exception as e:  # noqa: BLE001
         log(f"scheduling extra failed: {e}")
 
@@ -211,6 +326,13 @@ def main() -> None:
                 "value": round(throughput),
                 "unit": "moves/s",
                 "vs_baseline": round(throughput / baseline, 1),
+                "value_min": round(min(tputs)),
+                "value_max": round(max(tputs)),
+                "repeats": len(runs),
+                "ttz_median_s": round(ttz, 2),
+                "ttz_min_s": round(ttzs[0], 2),
+                "ttz_max_s": round(ttzs[-1], 2),
+                **nq_quality,
                 **sched_extras,
             }
         )

@@ -332,6 +332,12 @@ class Solver:
         score = np.asarray(score)
         return (float(score[0]), float(score[1])), jax.tree.map(np.asarray, state)
 
+    def get_best_score(self) -> tuple:
+        """(hard, soft) of the archive best — transfers 8 bytes, not the
+        solution tensors (quality-at-wall probes call this every chunk)."""
+        score = np.asarray(self.state.elite.get_best()[0])
+        return (float(score[0]), float(score[1]))
+
     def cancel(self) -> None:
         self.cancelled = True
 

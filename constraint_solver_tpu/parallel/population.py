@@ -320,6 +320,12 @@ class PopulationSolver:
             "total": self.config.iterated_local_search_max_iterations,
         }
 
+    def get_best_score(self) -> tuple:
+        """(hard, soft) of the global best — transfers 8 bytes, not the
+        solution tensors (quality-at-wall probes call this every chunk)."""
+        score = np.asarray(self._best_score_jit(self.state))
+        return (float(score[0]), float(score[1]))
+
     def get_best_solution(self):
         """Global best over all lanes' archives."""
         score, state = self._global_best_jit(self.state)
