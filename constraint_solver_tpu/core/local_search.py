@@ -60,6 +60,16 @@ class LsParams(NamedTuple):
     # (0/12,800) and would pay 50k x T compares per iteration here.
     # SolverConfig auto-enables this when width * ring <= ~2M.
     tabu_exact_filter: bool = False
+    # Fixed-trip loops: run the descent (and the pick-then-check retry
+    # loop) for their STATIC bounds with per-lane carry masking instead of
+    # data-dependent while_loops.  Required whenever the problem's
+    # functions contain collectives and lanes are sharded over another
+    # mesh axis (pop x seq): a data-dependent trip count diverges across
+    # shards, executing the in-loop collectives different numbers of times
+    # per shard — a deadlock.  The masking select replicates vmap's
+    # while-batching rule exactly, so trajectories are bit-identical to
+    # the while form; only wall-clock differs (no early loop exit).
+    fixed_trip: bool = False
 
 
 class _LsCarry(NamedTuple):
@@ -123,9 +133,20 @@ def _pick_then_check(problem, params, nb, tabu, c, n_valid, iota_w, retries):
         excl = jax.lax.dynamic_update_index_in_dim(excl, idx, tries, 0)
         return (idx, fp, ~hit, tries + 1, excl)
 
-    idx, cand_fp, found, tries, _ = jax.lax.while_loop(
-        pick_cond, pick_body, (idx0, fp0, found0, jnp.int32(1), excl0)
-    )
+    pick_init = (idx0, fp0, found0, jnp.int32(1), excl0)
+    if params.fixed_trip:
+        # Shard-uniform trip count (see LsParams.fixed_trip): retries-1
+        # masked steps instead of a data-dependent while.
+        idx, cand_fp, found, tries, _ = jax.lax.fori_loop(
+            0,
+            retries - 1,
+            lambda _, p: _select(pick_cond(p), pick_body(p), p),
+            pick_init,
+        )
+    else:
+        idx, cand_fp, found, tries, _ = jax.lax.while_loop(
+            pick_cond, pick_body, pick_init
+        )
     # Retry-budget exhaustion: stopped without a non-tabu winner while
     # unexamined valid candidates remained (measured divergence, see
     # _LsCarry).
@@ -247,5 +268,16 @@ def ls_execute(
             exhausted=c.exhausted + exhausted_event.astype(jnp.int32),
         )
 
-    out = jax.lax.while_loop(cond, body, carry)
+    if params.fixed_trip:
+        # Shard-uniform trip count (see LsParams.fixed_trip): the masking
+        # select IS vmap's while-batching rule, so the final carry is
+        # bit-identical to the while form.
+        out = jax.lax.fori_loop(
+            0,
+            params.max_iterations,
+            lambda _, c: _select(cond(c), body(c), c),
+            carry,
+        )
+    else:
+        out = jax.lax.while_loop(cond, body, carry)
     return out.best_state, out.best_score, out.tabu, out.it, out.exhausted

@@ -465,4 +465,8 @@ class PopulationSolver:
                 f"(rounds {np.unique(np.asarray(self.state.round))})"
             )
         if self.mesh is not None:
-            self.state = jax.device_put(self.state, pop_sharding(self.mesh))
+            # Subclasses with richer layouts (pop x seq) set _shardings.
+            self.state = jax.device_put(
+                self.state, getattr(self, "_shardings", None)
+                or pop_sharding(self.mesh)
+            )

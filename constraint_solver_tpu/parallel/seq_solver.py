@@ -32,12 +32,13 @@ seed — the strongest possible correctness statement for a parallelization.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from constraint_solver_tpu.core.history import EliteArchive, TabuRing
 from constraint_solver_tpu.core.ils import (
@@ -56,7 +57,12 @@ from constraint_solver_tpu.models.scheduling import (
     sample_random_moves,
 )
 from constraint_solver_tpu.ops.fingerprint import fingerprint_i32, fp_update
-from constraint_solver_tpu.ops.lex import make_score
+from constraint_solver_tpu.ops.lex import lex_argmin, make_score
+from constraint_solver_tpu.parallel.population import (
+    PopulationSolver,
+    exchange_elites,
+    portfolio_temps,
+)
 from constraint_solver_tpu.utils.seeding import seed_string_to_key
 
 
@@ -362,31 +368,132 @@ def make_seq_scheduling_problem(
     )
 
 
-def seq_state_specs(axis: str) -> IlsState:
-    """PartitionSpec pytree matching IlsState: assignment leaves sharded
-    over ``axis`` (current solution dim 0; elite arena dim 1), everything
-    else replicated."""
-    rep = P()
+def seq_pop_state_specs(pop_axis: str | None, seq_axis: str) -> IlsState:
+    """PartitionSpec pytree matching a LANE-BATCHED IlsState: leading lane
+    dim over ``pop_axis`` (or unsharded when None), assignment day axis over
+    ``seq_axis`` (current solution dim 1; elite arena dim 2), everything
+    else lane-sharded only."""
+    lane = P(pop_axis)
     return IlsState(
-        current_state=P(axis),
-        current_score=rep,
-        current_fp=rep,
+        current_state=P(pop_axis, seq_axis),
+        current_score=lane,
+        current_fp=lane,
         elite=EliteArchive(
-            scores=rep, fps=rep, states=P(None, axis), valid=rep
+            scores=lane, fps=lane, states=P(pop_axis, None, seq_axis),
+            valid=lane,
         ),
-        tabu=TabuRing(fps=rep, iters=rep, head=rep, count=rep, expiry=rep),
-        round=rep,
-        ls_iters_total=rep,
-        tabu_exhausted_total=rep,
-        key=rep,
-        accept_temp=rep,
+        tabu=TabuRing(fps=lane, iters=lane, head=lane, count=lane, expiry=lane),
+        round=lane,
+        ls_iters_total=lane,
+        tabu_exhausted_total=lane,
+        key=lane,
+        accept_temp=lane,
     )
 
 
-class SeqShardedSolver:
-    """Single-trajectory solver with the DATE axis sharded over ``seq`` —
-    "context parallelism" for schedules too long for one device
-    (SURVEY.md §2.5/§5)."""
+@lru_cache(maxsize=64)
+def _seq_programs(
+    problem: Problem, config: SolverConfig, k_exchange: int, cull_frac: float,
+    mesh, pop_axis: str | None, seq_axis: str, population: int,
+):
+    """Jitted pop x seq programs, shared across solver instances (the same
+    no-recompile contract as parallel/population.py's program caches).
+
+    The engine rounds run inside a shard_map over both axes: lanes vmap
+    locally (their seq collectives are lane-independent, so vmapping over
+    the lane dim inside the shard_map is sound).  The per-chunk elite
+    exchange runs OUTSIDE the shard_map as plain GSPMD code on the globally
+    sharded state — identical math to the dense ``PopulationSolver``'s
+    exchange, with XLA inserting the pop-axis collectives — so a pop x seq
+    solve is trajectory-identical to the dense solver with the same
+    exchange cadence (tests/test_seq_solver.py).  (Explicit pop-axis
+    all_gathers inside the two-axis shard_map deadlock the multi-device CPU
+    runtime's collective rendezvous under thread starvation; the GSPMD form
+    is also what the 1D population path compiles.)"""
+    # fixed_trip: with lanes sharded over pop AND collectives inside the
+    # problem functions, every loop trip count must be shard-uniform (see
+    # LsParams.fixed_trip) — bit-identical trajectories, no deadlock.
+    ls_p = config.ls_params(problem.width)._replace(
+        fixed_trip=pop_axis is not None
+    )
+    ils_p = config.ils_params()
+    specs = seq_pop_state_specs(pop_axis, seq_axis)
+    round_at = jax.vmap(
+        partial(ils_round, problem, ls_p, ils_p), in_axes=(0, None)
+    )
+
+    def shard_body(st: IlsState, n: int) -> IlsState:
+        base = st.round[0]
+        return jax.lax.fori_loop(
+            0, n, lambda i, s: round_at(s, base + 1 + i), st
+        )
+
+    def smap(body, in_specs, out_specs):
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+    def step(st: IlsState, n: int) -> IlsState:
+        return smap(partial(shard_body, n=n), (specs,), specs)(st)
+
+    def chunk(st: IlsState, n: int) -> IlsState:
+        st = step(st, n)
+        if k_exchange > 0 and population > 1:
+            st = exchange_elites(st, k_exchange, cull_frac)
+        return st
+
+    def init_body(keys, temps):
+        return jax.vmap(
+            lambda k, t: ils_init(problem, config, k, accept_temp=t)
+        )(keys, temps)
+
+    init = smap(init_body, (P(pop_axis), P(pop_axis)), specs)
+
+    # Host-read programs: tiny REPLICATED outputs (the state is globally
+    # sharded; these never call problem functions, so plain jit + GSPMD).
+    rep = NamedSharding(mesh, P())
+
+    def best_score(st: IlsState):
+        scores, _, _ = jax.vmap(lambda e: e.get_best())(st.elite)
+        return scores[lex_argmin(scores)]
+
+    def global_best(st: IlsState):
+        scores, _, bests = jax.vmap(lambda e: e.get_best())(st.elite)
+        lane = lex_argmin(scores)
+        return scores[lane], jax.tree.map(lambda a: a[lane], bests)
+
+    return SimpleNamespace(
+        init=jax.jit(init, out_shardings=specs_to_shardings(specs, mesh)),
+        chunk=jax.jit(chunk, static_argnums=1),
+        step=jax.jit(step, static_argnums=1),
+        best_score=jax.jit(best_score, out_shardings=rep),
+        global_best=jax.jit(global_best, out_shardings=rep),
+        probe=jax.jit(
+            lambda st: (st.round[0], jnp.sum(st.ls_iters_total)),
+            out_shardings=rep,
+        ),
+    )
+
+
+def specs_to_shardings(specs, mesh):
+    return jax.tree.map(
+        lambda p: NamedSharding(mesh, p), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+class SeqShardedSolver(PopulationSolver):
+    """Population of date-sharded trajectories over ``Mesh(pop, seq)`` —
+    "context parallelism" composed with data parallelism, the runnable
+    shape for BASELINE.json config[5] (sharded restart portfolio on
+    employee-scheduling-large).  With ``population=1`` (default) and a
+    seq-only mesh this is the single-trajectory date-sharded solver.
+
+    Full ``PopulationSolver`` driver parity is inherited: run /
+    execute_round / is_finished / get_iteration_info / get_best_solution /
+    get_best_score / cancel / stats / save / load / reseed_from_elites /
+    roofline, plus per-chunk elite exchange over ``pop``."""
 
     def __init__(
         self,
@@ -395,62 +502,62 @@ class SeqShardedSolver:
         mesh,
         axis: str = "seq",
         window_size: int = 100,
+        population: int = 1,
+        exchange_every: int = 10,
+        k_exchange: int = 4,
+        portfolio: str = "reference",
+        cull_frac: float = 0.0,
     ):
+        # No super().__init__: the seq problem's collectives need shard_map
+        # for init and chunk; the parent's driver methods only touch the
+        # jitted programs + attributes set here.
         self.spec = spec
         self.config = config
+        self.population = population
+        self.exchange_every = exchange_every
+        self.cancelled = False
+        self._wall = 0.0
         self.mesh = mesh
         self.axis = axis
         jax.set_mesh(mesh)
+        pop_axis = "pop" if "pop" in mesh.axis_names else None
+        if pop_axis is not None and population % mesh.shape["pop"] != 0:
+            raise ValueError(
+                f"population {population} must divide over the pop axis "
+                f"({mesh.shape['pop']} shards)"
+            )
         self.problem = make_seq_scheduling_problem(spec, mesh, axis, window_size)
-        specs = seq_state_specs(axis)
-
-        problem, ls_p, ils_p = (
-            self.problem,
-            config.ls_params(self.problem.width),
-            config.ils_params(),
+        progs = _seq_programs(
+            self.problem, config, k_exchange, cull_frac, mesh, pop_axis,
+            axis, population,
         )
-
-        init_fn = jax.jit(
-            jax.shard_map(
-                lambda k: ils_init(problem, config, k),
-                mesh=mesh, in_specs=P(), out_specs=specs, check_vma=False,
-            )
+        self._shardings = specs_to_shardings(
+            seq_pop_state_specs(pop_axis, axis), mesh
         )
-        self.state = init_fn(seed_string_to_key(config.seed))
-
-        def chunk(st: IlsState, n: int) -> IlsState:
-            body = partial(ils_round, problem, ls_p, ils_p)
-            # Scalar round number => the periodic restart is a real branch
-            # (ils_round round_scalar); st.round is replicated over seq.
-            base = st.round
-            return jax.lax.fori_loop(
-                0, n, lambda i, s: body(s, round_scalar=base + 1 + i), st
-            )
-
-        def run_chunk(st: IlsState, n: int) -> IlsState:
-            return jax.shard_map(
-                partial(chunk, n=n),
-                mesh=mesh, in_specs=(specs,), out_specs=specs,
-                check_vma=False,
-            )(st)
-
-        self._chunk_jit = jax.jit(run_chunk, static_argnums=1)
-
-    def run(self, max_rounds: int, chunk: int = 4) -> None:
-        done = 0
-        while done < max_rounds:
-            n = min(chunk, max_rounds - done)
-            self.state = self._chunk_jit(self.state, n)
-            done += n
+        key = seed_string_to_key(config.seed)
+        if population == 1:
+            # The raw (unsplit) key, batched: bit-identical to the
+            # single-trajectory core Solver on the same seed.
+            keys = key[None]
+        else:
+            # Same split as population_init: bit-identical lanes to the
+            # dense PopulationSolver on the same seed.
+            keys = jax.random.split(key, population)
+        temps = jax.device_put(
+            portfolio_temps(population, portfolio),
+            NamedSharding(mesh, P(pop_axis)),
+        )
+        keys = jax.device_put(keys, NamedSharding(mesh, P(pop_axis)))
+        self.state = progs.init(keys, temps)
+        self._chunk_jit = progs.chunk
+        self._step_jit = progs.step
+        self._round_jit = lambda st: progs.step(st, 1)
+        self._best_score_jit = progs.best_score
+        self._global_best_jit = progs.global_best
+        self._probe_jit = progs.probe
 
     def get_best_solution(self):
-        score, _, a_pad = jax.jit(lambda st: st.elite.get_best())(self.state)
-        score = np.asarray(score)
-        assign = np.asarray(jax.device_get(a_pad))[: self.spec.num_days]
-        return (float(score[0]), float(score[1])), assign
+        """Global best over all lanes; assignment sliced to real days."""
+        (score, a_pad) = super().get_best_solution()
+        return score, np.asarray(a_pad)[: self.spec.num_days]
 
-    def stats(self) -> dict:
-        return {
-            "rounds": int(np.asarray(self.state.round)),
-            "ls_iterations": int(np.asarray(self.state.ls_iters_total)),
-        }
