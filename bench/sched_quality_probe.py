@@ -34,7 +34,11 @@ def main() -> None:
         {e: [d0 + datetime.timedelta(days=(17 * e + 11 * k) % s_days)
              for k in range(10)] for e in range(s_emps)},
     )
-    problem = make_scheduling_problem(spec, proposer=proposer)
+    n_rs = int(os.environ.get("PROBE_RAND_SWAPS", 64))
+    problem = make_scheduling_problem(
+        spec, proposer=proposer, n_rand_swaps=n_rs
+    )
+    print(f"n_rand_swaps={n_rs}", flush=True)
     cfg = SolverConfig(
         seed="bench",
         local_search_max_iterations=ls_max,

@@ -111,6 +111,10 @@ class SolverConfig:
             max_iterations=self.local_search_max_iterations,
             allow_no_improvement_for=self.max_allow_no_improvement_for,
             tabu_exact_filter=exact,
+            # A user-forced mode (True/False) must win even over proposers
+            # that provide free dense fingerprints (the pick-then-check A/B
+            # in bench/tabu_exhaustion.py depends on forcing False).
+            tabu_forced=self.tabu_exact_filter is not None,
         )
 
     def ils_params(self) -> IlsParams:

@@ -58,8 +58,11 @@ class LsParams(NamedTuple):
     # budget on 59.8% of iterations (bench/tabu_exhaustion.py, 31d x 7e on
     # chip), while nqueens-1000's 50k-wide block never retries at all
     # (0/12,800) and would pay 50k x T compares per iteration here.
-    # SolverConfig auto-enables this when width * ring <= ~2M.
+    # SolverConfig auto-enables this when width * ring <= ~2M, and the
+    # engine upgrades to it whenever the proposer supplies free dense
+    # fingerprints (Neighborhood.fp_deltas) unless tabu_forced pins a mode.
     tabu_exact_filter: bool = False
+    tabu_forced: bool = False
     # Fixed-trip loops: run the descent (and the pick-then-check retry
     # loop) for their STATIC bounds with per-lane carry masking instead of
     # data-dependent while_loops.  Required whenever the problem's
@@ -205,17 +208,29 @@ def ls_execute(
         n_valid = nb.n_valid if nb.n_valid is not None else jnp.sum(nb.valid)
         iota_w = jnp.arange(nb.valid.shape[0])
 
-        if params.tabu_exact_filter:
+        use_exact = (
+            params.tabu_exact_filter
+            if params.tabu_forced
+            else params.tabu_exact_filter or nb.fp_deltas is not None
+        )
+        if use_exact:
             # Reference-exact filter-then-pick (ref local_search.rs:319):
             # all W candidate fingerprints (O(1) incremental each), one
             # [W, T] ring-membership op, best non-tabu candidate.  An
             # all-tabu neighborhood is EMPTY to the reference (its filter
             # runs before scoring), so found=False here flows into the
             # same no-candidate handling below; the retry-exhaustion
-            # divergence does not exist on this path.
-            fps_all = jax.vmap(
-                lambda i: problem.move_fp(c.state, c.fp, nb.moves, i)
-            )(iota_w)
+            # divergence does not exist on this path.  Proposers that hash
+            # their batch densely supply ``fp_deltas`` (one [W, 2] XOR
+            # here); only without them does the vmapped move_fp fallback —
+            # W serial gathers on TPU — run, which is why the auto
+            # threshold (SolverConfig) keeps that fallback off wide blocks.
+            if nb.fp_deltas is not None:
+                fps_all = c.fp[None, :] ^ nb.fp_deltas
+            else:
+                fps_all = jax.vmap(
+                    lambda i: problem.move_fp(c.state, c.fp, nb.moves, i)
+                )(iota_w)
             ok = nb.valid & ~tabu.is_tabu(fps_all)
             found = jnp.any(ok)
             idx = lex_argmin(nb.scores, ok).astype(jnp.int32)
@@ -236,7 +251,7 @@ def ls_execute(
         # continues (it still ends via the no-improvement bail).  On the
         # exact-filter path the reference's tabu filter precedes scoring,
         # so an all-tabu neighborhood IS empty and breaks the descent.
-        empty_nbr = ~found if params.tabu_exact_filter else (n_valid == 0)
+        empty_nbr = ~found if use_exact else (n_valid == 0)
 
         improved = lex_less(cand_score, c.score) & any_valid
         step = any_valid & ~hit_best

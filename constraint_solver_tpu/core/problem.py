@@ -32,11 +32,23 @@ class Neighborhood(NamedTuple):
     valid:  bool[W]       — padding/sampling validity mask; invalid
                             candidates are never selected.
 
-    Candidate fingerprints are deliberately NOT materialized here: the
-    engine resolves tabu membership pick-then-check (argmin first, then
-    fingerprint only the winner via ``Problem.move_fp``), so the O(W x T)
-    membership matrix and O(W) hashing the reference's filter-then-score
-    order would imply (ref local_search.rs:319) never exist on device.
+    Candidate fingerprints are NOT materialized by default: the engine
+    resolves tabu membership pick-then-check (argmin first, then fingerprint
+    only the winner via ``Problem.move_fp``), so the O(W x T) membership
+    matrix and O(W) hashing the reference's filter-then-score order would
+    imply (ref local_search.rs:319) never exist on device.  A proposer that
+    CAN hash its whole batch densely should set ``fp_deltas`` instead —
+    then the engine runs the reference-exact filter for free (measured: the
+    pick-then-check retry budget exhausts on >50% of iterations in the
+    dense scheduling soft phase, stalling the descent, while vmapping
+    ``move_fp`` over W candidates lowers to W serial gathers).
+
+    ``fp_deltas`` (optional): uint32[W, 2] such that candidate ``i``'s
+    fingerprint is ``current_fp ^ fp_deltas[i]`` (the XOR fingerprint's
+    incremental form, ops/fingerprint.py).  When present, the engine uses
+    the reference-exact tabu filter unconditionally — candidates' hashes
+    are one [W, 2] XOR, and the [W, T] ring-membership compare is cheap
+    relative to the candidate block that produced them.
 
     ``hint_idx`` (optional): the flat index of the lexicographic-minimum
     valid candidate, when the proposer can produce it more cheaply than a
@@ -58,6 +70,7 @@ class Neighborhood(NamedTuple):
     valid: jax.Array
     hint_idx: jax.Array | None = None
     n_valid: jax.Array | None = None
+    fp_deltas: jax.Array | None = None
 
 
 class Problem(NamedTuple):

@@ -61,7 +61,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from constraint_solver_tpu.core.problem import Neighborhood, Problem
-from constraint_solver_tpu.ops.fingerprint import fingerprint_i32, fp_update
+from constraint_solver_tpu.ops.fingerprint import (
+    fingerprint_i32,
+    fp_update,
+    position_hash,
+)
 from constraint_solver_tpu.ops.lex import make_score
 
 # Delta-evaluation region: the widest window is 14 days (H4), so windows
@@ -218,12 +222,39 @@ def sample_random_moves(key, w_size: int, d_days: int, n_emp: int):
     return is_swap, d1, d2, new_emp
 
 
+def _cat_blocks(blocks):
+    """Concatenate (scores, moves, valid, fp_deltas) candidate blocks into
+    one Neighborhood (the dense proposer's ChangeDay / random-swap /
+    diagonal sections)."""
+    cat = lambda *xs: jnp.concatenate(xs)
+    return Neighborhood(
+        scores=cat(*[b[0] for b in blocks]),
+        moves=jax.tree.map(cat, *[b[1] for b in blocks]),
+        valid=cat(*[b[2] for b in blocks]),
+        fp_deltas=cat(*[b[3] for b in blocks]),
+    )
+
+
+def _swap_fp_deltas(d1, e1, n1, d2, e2, n2):
+    """uint32[..., 2] XOR fingerprint delta of a two-point move (the
+    incremental form of ops/fingerprint.py; ChangeDay has n2 == e2, whose
+    hash terms cancel)."""
+    u = lambda x: x.astype(jnp.uint32)
+    return (
+        position_hash(d1, u(e1))
+        ^ position_hash(d1, u(n1))
+        ^ position_hash(d2, u(e2))
+        ^ position_hash(d2, u(n2))
+    )
+
+
 @lru_cache(maxsize=32)
 def make_scheduling_problem(
     spec: ScheduleSpec,
     window_size: int = 100,
     proposer: str = "dense",
     n_swap_offsets: int = 4,
+    n_rand_swaps: int = 64,
 ) -> Problem:
     """``proposer``:
 
@@ -232,12 +263,15 @@ def make_scheduling_problem(
       of shifted full-axis tensor ops — no per-candidate slicing, no
       gathers — plus ``n_swap_offsets`` dense SwapDays diagonals (all days
       swapped with the day ``delta`` later, ``delta`` ~ U[14, D) sampled per
-      call).  Divergence from the reference's 100-random-move window
+      call) plus ``n_rand_swaps`` UNRESTRICTED random swap pairs scored by
+      the exact overlapping-region path (close-pair swaps rearrange days
+      inside a constraint window without touching totals — the move class
+      the >= 14-day diagonals cannot express; adding them closed the
+      measured soft-descent gap vs the random proposer, BENCH_NOTES.md).
+      Divergence from the reference's 100-random-move window
       (ref lib.rs:428-491): the engine argmins over this much wider
       neighborhood, the same documented divergence as the nqueens A x n
-      block, and swap partners are >= 14 days apart so swap deltas decompose
-      into two window-disjoint ChangeDay deltas (closer pairs are reachable
-      as two ChangeDay steps).  Exactness is proven against the full
+      block.  Exactness of every block is proven against the full
       rescore in tests/test_scheduling_dense.py;
     - "random": the reference's used proposer — ``window_size`` random
       ChangeDay/SwapDays samples (ref ScheduleRandomMoveProposer,
@@ -269,6 +303,14 @@ def make_scheduling_problem(
     # employee -1 (matches nothing, one-hots to zero) and weekend False.
     wk_pad = jnp.concatenate(
         [jnp.zeros((PAD,), bool), weekend, jnp.zeros((PAD,), bool)]
+    )
+    # Constant position-hash table h(d, e) for the dense ChangeDay batch
+    # fingerprints (ops/fingerprint.py XOR structure): uint32[D, E, 2].
+    h_de_table = position_hash(
+        jnp.arange(d_days, dtype=jnp.int32)[:, None],
+        jnp.broadcast_to(
+            jnp.arange(n_emp, dtype=jnp.uint32)[None, :], (d_days, n_emp)
+        ),
     )
 
     # -- aggregate-level soft scores (shared by full and delta paths) ------
@@ -395,8 +437,13 @@ def make_scheduling_problem(
             sl_old, wk_sl, d1, n1, d2, n2, e1, e2, dj, d_excl, use_excl, d_days
         )
 
-    def neighborhood(assign, cur_score, key):
-        moves = sample_moves(key)
+    def exact_move_deltas(assign, moves):
+        """Exact (d_hard f32[W], d_soft f32[W], fp_deltas uint32[W, 2]) for
+        W arbitrary ChangeDay/SwapDays moves — ANY day pair, including
+        overlapping 27-day regions — via the region-delta path.  Shared by
+        the random/delta proposer and the dense block's unrestricted
+        random-swap extension (close-pair swaps are not reachable through
+        the window-disjoint swap diagonals)."""
         is_swap, d1, d2, new_emp = moves
 
         # Base aggregates, once per call (O(D·E), amortized over W).
@@ -468,13 +515,21 @@ def make_scheduling_problem(
         d_hard, d_soft = jax.vmap(delta_one)(
             d1, n1, d2, n2, e1, e2, hol1, hol2, wd1, wd2, wk1, wk2
         )
+        return d_hard, d_soft, _swap_fp_deltas(d1, e1, n1, d2, e2, n2)
+
+    def neighborhood(assign, cur_score, key):
+        moves = sample_moves(key)
+        d_hard, d_soft, fpd = exact_move_deltas(assign, moves)
         scores = cur_score[None, :] + jnp.stack([d_hard, d_soft], axis=1)
         valid = jnp.ones((w_size,), bool)
-        return Neighborhood(scores=scores, moves=moves, valid=valid)
+        return Neighborhood(
+            scores=scores, moves=moves, valid=valid, fp_deltas=fpd
+        )
 
     # -- dense-block neighborhood (the TPU hot path) ------------------------
 
     n_off = n_swap_offsets if d_days >= 15 else 0
+    n_rand = n_rand_swaps if d_days >= 2 else 0
 
     def _shf(x, k, fill):
         """y[d] = x[d + k] with out-of-range filled (static k)."""
@@ -678,13 +733,44 @@ def make_scheduling_problem(
             [d_hard.reshape(-1), d_soft.reshape(-1)], axis=1
         )
         ch_valid = jnp.ones((d_days * n_emp,), bool)
+        # Dense batch fingerprints: fp' = fp ^ h(d, a[d]) ^ h(d, e) — one
+        # [D, E, 2] XOR against the precomputed h(d, e) table, enabling the
+        # reference-exact tabu filter at negligible cost (the pick-then-
+        # check retry budget exhausted on >50% of soft-phase iterations on
+        # this block, stalling the descent — BENCH_NOTES.md round 3).
+        h_old = position_hash(iota_d, a.astype(jnp.uint32))        # [D, 2]
+        ch_fpd = (h_old[:, None] ^ h_de_table).reshape(-1, 2)
+        blocks = [(ch_scores, ch_moves, ch_valid, ch_fpd)]
+        k_off, k_rs = jax.random.split(key)
 
-        if n_off == 0:
-            return Neighborhood(
-                scores=ch_scores, moves=ch_moves, valid=ch_valid
+        if n_rand > 0:
+            # Unrestricted random swaps: ANY day pair, exact overlapping-
+            # window deltas via the region path.  Close-pair swaps matter —
+            # they rearrange days inside one constraint window without
+            # touching per-employee totals, the move class the window-
+            # disjoint diagonals below cannot express (measured: the W=100
+            # random proposer descends the soft score in ~3x fewer rounds
+            # than the diagonal-only dense block on 365d x 20e).
+            k_rs1, k_rs2 = jax.random.split(k_rs)
+            rs_d1 = jax.random.randint(k_rs1, (n_rand,), 0, d_days, jnp.int32)
+            rs_off = jax.random.randint(k_rs2, (n_rand,), 1, d_days, jnp.int32)
+            rs_d2 = ((rs_d1 + rs_off) % d_days).astype(jnp.int32)
+            rs_moves = (
+                jnp.ones((n_rand,), bool),
+                rs_d1,
+                rs_d2,
+                jnp.zeros((n_rand,), jnp.int32),
+            )
+            rs_dh, rs_ds, rs_fpd = exact_move_deltas(a, rs_moves)
+            rs_scores = cur_score[None, :] + jnp.stack([rs_dh, rs_ds], axis=1)
+            blocks.append(
+                (rs_scores, rs_moves, jnp.ones((n_rand,), bool), rs_fpd)
             )
 
-        delta = jax.random.randint(key, (n_off,), 14, d_days, jnp.int32)
+        if n_off == 0:
+            return _cat_blocks(blocks)
+
+        delta = jax.random.randint(k_off, (n_off,), 14, d_days, jnp.int32)
         a_ext = jnp.concatenate([a, jnp.full((d_days,), -2, jnp.int32)])
         a2 = jax.vmap(
             lambda s: jax.lax.dynamic_slice(a_ext, (s,), (d_days,))
@@ -738,14 +824,11 @@ def make_scheduling_problem(
         sw_scores = cur_score[None, :] + jnp.stack(
             [hard_sw.reshape(-1), soft_sw.reshape(-1)], axis=1
         )
-
-        cat = lambda u, v: jnp.concatenate([u, v])
-        moves = jax.tree.map(cat, ch_moves, sw_moves)
-        return Neighborhood(
-            scores=cat(ch_scores, sw_scores),
-            moves=moves,
-            valid=cat(ch_valid, valid_sw.reshape(-1)),
-        )
+        d1_b = jnp.broadcast_to(iota_d[None, :], (n_off, d_days))
+        a_b = jnp.broadcast_to(a[None, :], (n_off, d_days))
+        sw_fpd = _swap_fp_deltas(d1_b, a_b, a2, d2_sw, a2, a_b).reshape(-1, 2)
+        blocks.append((sw_scores, sw_moves, valid_sw.reshape(-1), sw_fpd))
+        return _cat_blocks(blocks)
 
     def materialize(assign, moves):
         """Candidate states [W, D] for the rescore A/B path — scatter-free
@@ -768,7 +851,13 @@ def make_scheduling_problem(
         cands = materialize(assign, moves)
         scores = jax.vmap(score)(cands)  # [W, 2]
         valid = jnp.ones((w_size,), bool)
-        return Neighborhood(scores=scores, moves=moves, valid=valid)
+        # XOR identity: fp(cand) = fp(cur) ^ (fp(cur) ^ fp(cand)) — exactly
+        # the incremental deltas of the "random" path, so the two proposers
+        # stay bit-identical under the exact tabu filter.
+        fpd = fingerprint_i32(assign)[None, :] ^ fingerprint_i32(cands)
+        return Neighborhood(
+            scores=scores, moves=moves, valid=valid, fp_deltas=fpd
+        )
 
     def move_fp(assign, cur_fp, moves, idx):
         move = jax.tree.map(lambda a: a[idx], moves)
@@ -813,7 +902,7 @@ def make_scheduling_problem(
         width = d_days * (n_emp - 1)
     elif proposer == "dense":
         nbr_fn, fp_fn, apply_fn = neighborhood_dense, move_fp, apply_move
-        width = d_days * n_emp + n_off * d_days
+        width = d_days * n_emp + n_off * d_days + n_rand
     else:
         assert proposer in ("random", "rescore"), proposer
         nbr_fn = neighborhood if proposer == "random" else neighborhood_rescore

@@ -41,3 +41,41 @@ def pop_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _put_leaf_global(leaf, sharding: NamedSharding):
+    """Place one host leaf onto a (possibly multi-process) sharding.
+
+    ``jax.device_put`` rejects shardings with non-addressable devices; under
+    ``jax.distributed`` every process holds the full host copy (checkpoints
+    are gathered on save), so each process contributes its addressable
+    shards via ``make_array_from_callback``.  PRNG-key leaves round-trip
+    through key_data (callback arrays must be concrete dtypes)."""
+    import jax.numpy as jnp  # noqa: F401  (kept local: mesh.py is import-light)
+
+    if sharding.is_fully_addressable:
+        return jax.device_put(leaf, sharding)
+    if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(leaf)
+        import numpy as np
+
+        host = np.asarray(data)
+        g = jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+        return jax.random.wrap_key_data(g)
+    import numpy as np
+
+    host = np.asarray(leaf)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
+def device_put_global(tree, shardings):
+    """``jax.device_put(tree, shardings)`` that also works when the mesh
+    spans multiple processes.  ``shardings`` is one NamedSharding for every
+    leaf, or a matching pytree of them."""
+    if isinstance(shardings, NamedSharding):
+        return jax.tree.map(lambda l: _put_leaf_global(l, shardings), tree)
+    return jax.tree.map(_put_leaf_global, tree, shardings)

@@ -465,8 +465,11 @@ class PopulationSolver:
                 f"(rounds {np.unique(np.asarray(self.state.round))})"
             )
         if self.mesh is not None:
-            # Subclasses with richer layouts (pop x seq) set _shardings.
-            self.state = jax.device_put(
+            # Subclasses with richer layouts (pop x seq) set _shardings;
+            # device_put_global also handles multi-process meshes.
+            from constraint_solver_tpu.parallel.mesh import device_put_global
+
+            self.state = device_put_global(
                 self.state, getattr(self, "_shardings", None)
                 or pop_sharding(self.mesh)
             )

@@ -53,6 +53,7 @@ from constraint_solver_tpu.models.scheduling import (
     REG,
     ScheduleSpec,
     _make_perturb,
+    _swap_fp_deltas,
     region_deltas,
     sample_random_moves,
 )
@@ -316,8 +317,13 @@ def make_seq_scheduling_problem(
             hol1, hol2, wd1, wd2, wk1, wk2,
         )
         scores = cur_score[None, :] + jnp.stack([d_hard, d_soft], axis=1)
+        # Replicated batch fingerprints (e1/e2 are already psum-resolved):
+        # frees the engine's exact tabu filter from W vmapped move_fp
+        # resolutions, each of which costs a psum over the seq axis.
+        fpd = _swap_fp_deltas(d1, e1, n1, d2, e2, n2)
         return Neighborhood(
-            scores=scores, moves=moves, valid=jnp.ones((w_size,), bool)
+            scores=scores, moves=moves, valid=jnp.ones((w_size,), bool),
+            fp_deltas=fpd,
         )
 
     def move_fp(a_loc, cur_fp, moves, idx):

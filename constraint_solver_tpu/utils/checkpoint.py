@@ -55,7 +55,13 @@ def resume_and_run(solver, checkpoint: str | None, every: int, **run_kwargs):
 
 
 def save_state(path: str, state: IlsState, meta: dict | None = None) -> None:
-    """Serialize an IlsState (single or population) to ``path`` (.npz)."""
+    """Serialize an IlsState (single or population) to ``path`` (.npz).
+
+    Multi-process safe: leaves that are not fully addressable on this
+    process (globally sharded arrays under ``jax.distributed``) are gathered
+    to every host first, and only process 0 writes the file — ALL processes
+    must call this (the gather is collective).  Single-process states take
+    the direct path."""
     leaves, _treedef = jax.tree.flatten(state)
     key_idx = [
         i
@@ -64,12 +70,16 @@ def save_state(path: str, state: IlsState, meta: dict | None = None) -> None:
         and jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
     ]
     key_set = set(key_idx)
-    arrays = {
-        f"leaf_{i}": np.asarray(
-            jax.random.key_data(leaf) if i in key_set else leaf
-        )
-        for i, leaf in enumerate(leaves)
-    }
+
+    def to_host(i: int, leaf):
+        x = jax.random.key_data(leaf) if i in key_set else leaf
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
+    arrays = {f"leaf_{i}": to_host(i, leaf) for i, leaf in enumerate(leaves)}
     header = json.dumps(
         {
             "version": _FORMAT_VERSION,
@@ -85,16 +95,22 @@ def save_state(path: str, state: IlsState, meta: dict | None = None) -> None:
     import tempfile
 
     final = checkpoint_path(path)
-    fd, tmp = tempfile.mkstemp(
-        suffix=".npz", dir=os.path.dirname(os.path.abspath(final)) or "."
-    )
-    os.close(fd)
-    try:
-        np.savez(tmp, **arrays)
-        os.replace(tmp, final)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    if jax.process_count() == 1 or jax.process_index() == 0:
+        fd, tmp = tempfile.mkstemp(
+            suffix=".npz", dir=os.path.dirname(os.path.abspath(final)) or "."
+        )
+        os.close(fd)
+        try:
+            np.savez(tmp, **arrays)
+            os.replace(tmp, final)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    if jax.process_count() > 1:
+        # Non-writers must not race ahead and load a half-written file.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("checkpoint_save:" + final)
 
 
 def load_state(path: str, example: IlsState) -> tuple[IlsState, dict]:

@@ -45,6 +45,31 @@ jax.block_until_ready(solver.state)
 (hard, soft), _ = solver.get_best_solution()
 assert hard >= 0.0
 print(f"proc {jax.process_index()}: global best hard={hard}", flush=True)
+
+# Checkpoint round-trip across the process boundary: every process calls
+# save (collective gather, one writer), every process loads, and the resumed
+# global state must match bit-for-bit.
+ckpt = sys.argv[3]
+solver.save(ckpt)
+import numpy as np
+from jax.experimental import multihost_utils
+
+resumed = PopulationSolver(
+    make_nqueens_problem(8), config, population=8, mesh=mesh
+)
+resumed.load(ckpt)
+assert resumed.get_best_score() == solver.get_best_score()
+for a, b in zip(jax.tree.leaves(resumed.state), jax.tree.leaves(solver.state)):
+    if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
+        a, b = jax.random.key_data(a), jax.random.key_data(b)
+    np.testing.assert_array_equal(
+        multihost_utils.process_allgather(a, tiled=True),
+        multihost_utils.process_allgather(b, tiled=True),
+    )
+resumed.state = resumed._chunk_jit(resumed.state, 2)
+jax.block_until_ready(resumed.state)
+(r_hard, _), _ = resumed.get_best_solution()
+assert r_hard <= hard
 if is_coordinator():
     print("MULTIHOST_OK", flush=True)
 """
@@ -67,9 +92,10 @@ def test_two_process_global_mesh(tmp_path):
     }
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
+    ckpt = str(tmp_path / "dist_ckpt.npz")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), addr, str(i)],
+            [sys.executable, str(script), addr, str(i), ckpt],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )

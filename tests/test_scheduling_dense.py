@@ -71,19 +71,27 @@ def test_dense_block_equals_full_rescore(spec):
 
 def test_dense_block_covers_all_changedays():
     """The block enumerates every (day, employee) ChangeDay move exactly
-    once, plus n_off full swap diagonals."""
+    once, plus n_rand unrestricted random swaps, plus n_off window-disjoint
+    swap diagonals."""
     spec = _spec(31, 7)
-    problem = make_scheduling_problem(spec, proposer="dense", n_swap_offsets=4)
-    assert problem.width == 31 * 7 + 4 * 31
+    problem = make_scheduling_problem(
+        spec, proposer="dense", n_swap_offsets=4, n_rand_swaps=16
+    )
+    assert problem.width == 31 * 7 + 16 + 4 * 31
     assign = problem.init(jax.random.key(0))
     nb = problem.neighborhood(assign, problem.score(assign), jax.random.key(1))
     is_swap, d1, d2, new_emp = (np.asarray(m) for m in nb.moves)
     ch = ~is_swap
     got_pairs = set(zip(d1[ch].tolist(), new_emp[ch].tolist()))
     assert got_pairs == {(d, e) for d in range(31) for e in range(7)}
-    # All swap partners are >= 14 days later (window-disjoint decomposition).
-    sw_valid = is_swap & np.asarray(nb.valid)
-    assert ((d2 - d1)[sw_valid] >= 14).all()
+    # Block layout: [D*E ChangeDay] [n_rand random swaps] [n_off diagonals].
+    rs = slice(31 * 7, 31 * 7 + 16)
+    assert is_swap[rs].all() and (d1[rs] != d2[rs]).all()
+    # Diagonal swap partners are >= 14 days later (window-disjoint
+    # decomposition); the random block has no such restriction.
+    diag_valid = is_swap & np.asarray(nb.valid)
+    diag_valid[rs] = False
+    assert ((d2 - d1)[diag_valid] >= 14).all()
 
 
 def test_dense_solver_end_to_end():
@@ -106,3 +114,24 @@ def test_dense_solver_end_to_end():
     assert hard == 0.0, (hard, soft)
     assert soft <= 12.0, (hard, soft)
     assert len(assign) == 31
+
+
+@pytest.mark.parametrize("proposer", ["dense", "random", "rescore"])
+def test_fp_deltas_match_applied_fingerprints(proposer):
+    """Neighborhood.fp_deltas contract: cur_fp ^ fp_deltas[i] must equal the
+    fingerprint of the applied candidate, for every valid candidate of every
+    block (the engine's exact tabu filter keys on this)."""
+    spec = _spec(31, 7, {0: [D0 + datetime.timedelta(days=3)]})
+    problem = make_scheduling_problem(
+        spec, proposer=proposer, n_rand_swaps=16
+    )
+    assign = problem.init(jax.random.key(5))
+    cur_fp = problem.fingerprint(assign)
+    nb = problem.neighborhood(assign, problem.score(assign), jax.random.key(6))
+    assert nb.fp_deltas is not None
+    idxs = jnp.arange(nb.valid.shape[0])
+    states = jax.vmap(lambda i: problem.apply_move(assign, nb.moves, i))(idxs)
+    want = np.asarray(jax.vmap(problem.fingerprint)(states))
+    got = np.asarray(cur_fp[None, :] ^ nb.fp_deltas)
+    valid = np.asarray(nb.valid)
+    np.testing.assert_array_equal(got[valid], want[valid])
