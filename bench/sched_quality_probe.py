@@ -39,6 +39,7 @@ def main() -> None:
         spec, proposer=proposer, n_rand_swaps=n_rs
     )
     print(f"n_rand_swaps={n_rs}", flush=True)
+    tabu_mode = os.environ.get("PROBE_TABU", "auto")
     cfg = SolverConfig(
         seed="bench",
         local_search_max_iterations=ls_max,
@@ -46,8 +47,10 @@ def main() -> None:
         all_solutions_capacity=256,
         all_solution_iteration_expiry=1_000,
         iterated_local_search_max_iterations=10_000,
-        max_allow_no_improvement_for=20,
+        max_allow_no_improvement_for=int(os.environ.get("PROBE_BAIL", 20)),
+        tabu_exact_filter={"auto": None, "exact": True, "ptc": False}[tabu_mode],
     )
+    print(f"tabu={tabu_mode} bail={cfg.max_allow_no_improvement_for}", flush=True)
 
     print(f"proposer={proposer} pop={pop} ls_max={ls_max}", flush=True)
     t0 = time.time()

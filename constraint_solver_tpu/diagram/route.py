@@ -41,6 +41,116 @@ def _build_adjacency(graph: OrthogonalVisibilityGraph):
     return adj
 
 
+_EPS = 1e-6
+
+
+def _densified_adjacency(graph: OrthogonalVisibilityGraph):
+    """Adjacency with CONSECUTIVE vertices along every interesting segment
+    connected (plus the reference's exact-endpoint edges).
+
+    The reference's edge rule — vertex pairs that are exact segment
+    endpoints (ref lib.rs:675-696, a TODO-marked stopgap) — leaves the
+    graph fragmented: port vertices sit ON segments but mid-segment, so
+    they join nothing.  Connecting each segment's sorted vertex chain is
+    the standard orthogonal-visibility-graph construction (Wybrow/
+    Marriott/Stuckey 2009) and makes every port reachable, eliminating the
+    off-graph elbow fallback."""
+    edge_set = set()
+    for (a, b) in graph.edges:
+        edge_set.add((min(a, b), max(a, b)))
+    verts = sorted(graph.vertices)
+    for segs, horizontal in (
+        (graph.interesting_horizontal_segments, True),
+        (graph.interesting_vertical_segments, False),
+    ):
+        for (p1, p2) in segs:
+            if horizontal:
+                c = p1[1]
+                lo, hi = sorted((p1[0], p2[0]))
+                on = [
+                    v for v in verts
+                    if abs(v[1] - c) < _EPS and lo - _EPS <= v[0] <= hi + _EPS
+                ]
+            else:
+                c = p1[0]
+                lo, hi = sorted((p1[1], p2[1]))
+                on = [
+                    v for v in verts
+                    if abs(v[0] - c) < _EPS and lo - _EPS <= v[1] <= hi + _EPS
+                ]
+                on.sort(key=lambda v: v[1])
+            for a, b in zip(on, on[1:]):
+                if a != b:
+                    edge_set.add((min(a, b), max(a, b)))
+    adj = defaultdict(list)
+    for (a, b) in edge_set:
+        w = abs(a[0] - b[0]) + abs(a[1] - b[1])
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    return adj
+
+
+def box_ports(box):
+    """Unpadded port coordinates of a GeomBox, mirroring the reference's
+    port placement INCLUDING the width/height swap quirk (ref lib.rs:436-462;
+    native/diagram.cc:54-73) — these are exactly the port vertices the
+    visibility graph contains."""
+    x1, y1, x2, y2 = box.rect
+    min_x, min_y = min(x1, x2), min(y1, y2)
+    max_x, max_y = max(x1, x2), max(y1, y2)
+    w, h = max_x - min_x, max_y - min_y
+    pts = []
+    for i in range(box.ports.top):
+        pts.append((min_x + h * (i + 1) / (box.ports.top + 1), min_y))
+    for i in range(box.ports.right):
+        pts.append((max_x, min_y + w * (i + 1) / (box.ports.right + 1)))
+    for i in range(box.ports.bottom):
+        pts.append((min_x + h * (i + 1) / (box.ports.bottom + 1), max_y))
+    for i in range(box.ports.left):
+        pts.append((min_x, min_y + w * (i + 1) / (box.ports.left + 1)))
+    return pts
+
+
+def _snap_to_vertices(points, vertices):
+    """Map computed port coordinates to their graph vertices (Q32.32
+    round-trips can differ from float math in the last ulps)."""
+    out = []
+    for p in points:
+        best = min(
+            vertices,
+            key=lambda v: (v[0] - p[0]) ** 2 + (v[1] - p[1]) ** 2,
+            default=None,
+        )
+        if best is not None and abs(best[0] - p[0]) + abs(best[1] - p[1]) < 1e-3:
+            out.append(best)
+    return out
+
+
+def route_crossings(routes, boxes):
+    """Count route segments crossing any box's OPEN interior (ports lie on
+    the boundary, which is legal).  Zero for on-graph routes — the
+    interesting segments are clipped outside the padded boxes."""
+    crossings = 0
+    for route in routes:
+        if route is None:
+            continue
+        for (a, b) in zip(route, route[1:]):
+            lo_x, hi_x = sorted((a[0], b[0]))
+            lo_y, hi_y = sorted((a[1], b[1]))
+            for box in boxes:
+                x1, y1, x2, y2 = box.rect
+                bx1, bx2 = sorted((x1, x2))
+                by1, by2 = sorted((y1, y2))
+                if (
+                    lo_x < bx2 - _EPS
+                    and hi_x > bx1 + _EPS
+                    and lo_y < by2 - _EPS
+                    and hi_y > by1 + _EPS
+                ):
+                    crossings += 1
+    return crossings
+
+
 def _nearest_vertex(vertices, point):
     return min(
         vertices,
@@ -126,43 +236,34 @@ def fallback_elbow(boxes, i, j):
 
 
 def route_connectors(boxes, edges, bend_penalty: float = BEND_PENALTY):
-    """Route each (i, j) connector between boxes on the visibility graph.
+    """Route each (i, j) connector PORT to PORT on the visibility graph.
 
     ``boxes`` is a GeomBox list, ``edges`` index pairs into it.  Returns a
-    list of vertex paths (None where the graph has no usable component).
+    list of vertex paths (None only if a box exposes no ports or the graph
+    is empty — on-graph routing needs no elbow fallback since the
+    densified adjacency connects every port, see _densified_adjacency).
 
-    The visibility graph inherited from the reference's edge semantics is
-    fragmented — one large component plus isolated port-pair fragments — so
-    endpoints are chosen per connector as the (src, dst) pair **within one
-    component** minimizing the summed distance to the two box centers;
-    Dijkstra then always succeeds within that component.
+    Endpoint choice: the port pair of the two boxes with the smallest
+    Manhattan separation (the pair a human router would pick); Dijkstra
+    with the bend penalty finds the orthogonal path between them.
     """
     diagram = Diagram(boxes)
     graph = OrthogonalVisibilityGraph(diagram)
-    adj = _build_adjacency(graph)
+    adj = _densified_adjacency(graph)
     if not adj:
         return [None for _ in edges]
-    comps = _components(adj)
 
-    def center(b):
-        x1, y1, x2, y2 = b.rect
-        return ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
-
-    def d2(v, p):
-        return (v[0] - p[0]) ** 2 + (v[1] - p[1]) ** 2
-
+    ports = [
+        _snap_to_vertices(box_ports(b), graph.vertices) for b in boxes
+    ]
     routes = []
     for (i, j) in edges:
-        ci, cj = center(boxes[i]), center(boxes[j])
-        best = None  # (cost, src, dst)
-        for comp in comps:
-            if len(comp) < 2:
-                continue
-            src = min(comp, key=lambda v: d2(v, ci))
-            dst = min(comp, key=lambda v: d2(v, cj))
-            cost = d2(src, ci) ** 0.5 + d2(dst, cj) ** 0.5
-            if best is None or cost < best[0]:
-                best = (cost, src, dst)
+        best = None  # (manhattan, src, dst)
+        for a in ports[i]:
+            for b in ports[j]:
+                m = abs(a[0] - b[0]) + abs(a[1] - b[1])
+                if best is None or m < best[0]:
+                    best = (m, a, b)
         if best is None:
             routes.append(None)
             continue

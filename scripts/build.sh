@@ -12,7 +12,7 @@ echo "== native diagram library =="
 python - <<'PY'
 from constraint_solver_tpu.diagram.geometry import _build_lib, demo, Diagram, GeomBox, Padding
 from constraint_solver_tpu.diagram.png import render_png
-from constraint_solver_tpu.diagram.route import route_connectors
+from constraint_solver_tpu.diagram.route import route_connectors, route_crossings
 print("built:", _build_lib())
 out = demo("/tmp/out.svg")
 print(f"demo render: {len(out)} bytes -> /tmp/out.svg")
@@ -21,6 +21,7 @@ boxes = [GeomBox(rect=(100.0 + 150 * i, 100.0 + 150 * j, 200.0 + 150 * i, 200.0 
 shape = render_png(Diagram(boxes), "/tmp/out.png")
 routes = route_connectors(boxes, [(0, 1), (1, 2), (4, 5)])
 assert all(r is not None for r in routes), "router returned fallbacks"
+assert route_crossings(routes, boxes) == 0, "routes cross box interiors"
 print(f"demo raster: {shape} -> /tmp/out.png; routed {len(routes)} connectors")
 PY
 

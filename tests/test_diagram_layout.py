@@ -144,8 +144,10 @@ def test_solver_reaches_zero_overlaps():
 
 def test_routing_end_to_end():
     from constraint_solver_tpu.diagram.route import (
+        box_ports,
         render_routed,
         route_connectors,
+        route_crossings,
     )
 
     spec = DiagramLayoutSpec.chain(4, grid=6, size=2)
@@ -155,10 +157,20 @@ def test_routing_end_to_end():
     boxes = layout_to_boxes(spec, pos)
     routes = route_connectors(boxes, list(spec.edges))
     assert len(routes) == 3
-    # The router must actually route on this layout — no silent fallbacks.
+    # On-graph routing: no fallbacks, ever.
     assert all(r is not None for r in routes)
-    for r in routes:
+    # Routes never cross any box interior (ports sit on the boundary).
+    assert route_crossings(routes, boxes) == 0
+    port_sets = [set(box_ports(b)) for b in boxes]
+
+    def near_port(v, ports):
+        return any(abs(v[0] - p[0]) + abs(v[1] - p[1]) < 1e-3 for p in ports)
+
+    for r, (i, j) in zip(routes, spec.edges):
         assert len(r) >= 2
+        # Port-to-port: endpoints are actual ports of the connected boxes.
+        assert near_port(r[0], port_sets[i])
+        assert near_port(r[-1], port_sets[j])
         # Routed paths are orthogonal polylines over graph vertices.
         for a, b in zip(r, r[1:]):
             assert a[0] == b[0] or a[1] == b[1]
