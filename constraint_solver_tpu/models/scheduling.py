@@ -64,7 +64,7 @@ from constraint_solver_tpu.core.problem import Neighborhood, Problem
 from constraint_solver_tpu.ops.fingerprint import (
     fingerprint_i32,
     fp_update,
-    position_hash,
+    position_hash_planes,
 )
 from constraint_solver_tpu.ops.lex import make_score
 
@@ -225,27 +225,44 @@ def sample_random_moves(key, w_size: int, d_days: int, n_emp: int):
 def _cat_blocks(blocks):
     """Concatenate (scores, moves, valid, fp_deltas) candidate blocks into
     one Neighborhood (the dense proposer's ChangeDay / random-swap /
-    diagonal sections)."""
+    diagonal sections).
+
+    scores/fp_deltas arrive as per-block PLANE PAIRS ((hard, soft) /
+    (lane0, lane1), each [w]); the planes are concatenated separately and
+    stacked into the [W, 2] contract arrays once at the end — concatenating
+    pre-stacked [w, 2] blocks materialized [W, 2] buffers whose (8, 128)
+    tiling pads the trailing dim 64x, and the resulting relayout copies
+    dominated the engine's device time (BENCH_NOTES.md round 3 trace)."""
     cat = lambda *xs: jnp.concatenate(xs)
+    hard = cat(*[b[0][0] for b in blocks])
+    soft = cat(*[b[0][1] for b in blocks])
+    fp0 = cat(*[b[3][0] for b in blocks])
+    fp1 = cat(*[b[3][1] for b in blocks])
     return Neighborhood(
-        scores=cat(*[b[0] for b in blocks]),
+        scores=jnp.stack([hard, soft], axis=-1),
         moves=jax.tree.map(cat, *[b[1] for b in blocks]),
         valid=cat(*[b[2] for b in blocks]),
-        fp_deltas=cat(*[b[3] for b in blocks]),
+        fp_deltas=jnp.stack([fp0, fp1], axis=-1),
     )
+
+
+def _swap_fp_delta_planes(d1, e1, n1, d2, e2, n2):
+    """XOR fingerprint delta of a two-point move as two uint32[...] planes
+    (the incremental form of ops/fingerprint.py; ChangeDay has n2 == e2,
+    whose hash terms cancel).  Planes, not [..., 2]: wide trailing-2 arrays
+    tile with 64x padding on TPU."""
+    u = lambda x: x.astype(jnp.uint32)
+    a0, a1 = position_hash_planes(d1, u(e1))
+    b0, b1 = position_hash_planes(d1, u(n1))
+    c0, c1 = position_hash_planes(d2, u(e2))
+    e0, e1_ = position_hash_planes(d2, u(n2))
+    return a0 ^ b0 ^ c0 ^ e0, a1 ^ b1 ^ c1 ^ e1_
 
 
 def _swap_fp_deltas(d1, e1, n1, d2, e2, n2):
-    """uint32[..., 2] XOR fingerprint delta of a two-point move (the
-    incremental form of ops/fingerprint.py; ChangeDay has n2 == e2, whose
-    hash terms cancel)."""
-    u = lambda x: x.astype(jnp.uint32)
-    return (
-        position_hash(d1, u(e1))
-        ^ position_hash(d1, u(n1))
-        ^ position_hash(d2, u(e2))
-        ^ position_hash(d2, u(n2))
-    )
+    """Stacked uint32[..., 2] form of ``_swap_fp_delta_planes`` (narrow
+    batches only, e.g. the date-sharded solver's W=100 window)."""
+    return jnp.stack(_swap_fp_delta_planes(d1, e1, n1, d2, e2, n2), axis=-1)
 
 
 @lru_cache(maxsize=32)
@@ -305,8 +322,9 @@ def make_scheduling_problem(
         [jnp.zeros((PAD,), bool), weekend, jnp.zeros((PAD,), bool)]
     )
     # Constant position-hash table h(d, e) for the dense ChangeDay batch
-    # fingerprints (ops/fingerprint.py XOR structure): uint32[D, E, 2].
-    h_de_table = position_hash(
+    # fingerprints (ops/fingerprint.py XOR structure), one uint32[D, E]
+    # plane per fingerprint lane.
+    h_de0, h_de1 = position_hash_planes(
         jnp.arange(d_days, dtype=jnp.int32)[:, None],
         jnp.broadcast_to(
             jnp.arange(n_emp, dtype=jnp.uint32)[None, :], (d_days, n_emp)
@@ -427,15 +445,11 @@ def make_scheduling_problem(
 
     # -- delta evaluation ---------------------------------------------------
 
-    def windowed_deltas(a_pad, d1, n1, d2, n2, e1, e2, dj, d_excl, use_excl):
-        """Region deltas around day ``dj``: slices the padded assignment and
-        weekend tables and delegates to the module-level ``region_deltas``
-        (shared with the date-sharded solver, parallel/seq_solver.py)."""
-        sl_old = jax.lax.dynamic_slice(a_pad, (dj,), (REG,))  # days dj-13..dj+13
-        wk_sl = jax.lax.dynamic_slice(wk_pad, (dj,), (REG,))
-        return region_deltas(
-            sl_old, wk_sl, d1, n1, d2, n2, e1, e2, dj, d_excl, use_excl, d_days
-        )
+    # Static-shift matrix of the padded weekend table for gather-free region
+    # slices: wk_shift[r, d] = wk_pad[d + r] (see exact_move_deltas).
+    wk_shift_f = jnp.stack(
+        [wk_pad[r : r + d_days].astype(jnp.float32) for r in range(REG)]
+    )  # f32[REG, D]
 
     def exact_move_deltas(assign, moves):
         """Exact (d_hard f32[W], d_soft f32[W], fp_deltas uint32[W, 2]) for
@@ -478,7 +492,24 @@ def make_scheduling_problem(
         wk1 = lookup(at_d1, weekend_f)
         wk2 = lookup(at_d2, weekend_f)
 
-        def delta_one(d1, n1, d2, n2, e1, e2, hol1, hol2, wd1, wd2, wk1, wk2):
+        # 27-day region slices for ALL moves as shift-matrix contractions:
+        # sl[w, r] = a_pad[d_w + r].  A vmapped dynamic_slice batches the
+        # starts and lowers to a serialized gather on TPU (measured ~10x
+        # the cost of the whole ChangeDay block, bench/sched_isolation.py);
+        # the [W, D] x [REG, D] einsum is one small matmul.
+        a_shift_f = jnp.stack(
+            [
+                jax.lax.slice_in_dim(a_pad, r, r + d_days).astype(f32)
+                for r in range(REG)
+            ]
+        )  # f32[REG, D], values in {-2, -1, 0..E-1} (exact in f32)
+        sl1 = jnp.einsum("wd,rd->wr", at_d1, a_shift_f).astype(jnp.int32)
+        sl2 = jnp.einsum("wd,rd->wr", at_d2, a_shift_f).astype(jnp.int32)
+        wk_sl1 = jnp.einsum("wd,rd->wr", at_d1, wk_shift_f) > 0.5
+        wk_sl2 = jnp.einsum("wd,rd->wr", at_d2, wk_shift_f) > 0.5
+
+        def delta_one(d1, n1, d2, n2, e1, e2, hol1, hol2, wd1, wd2, wk1, wk2,
+                      sl1, sl2, wk_sl1, wk_sl2):
             oh1 = jax.nn.one_hot(n1, n_emp, dtype=f32) - jax.nn.one_hot(
                 e1, n_emp, dtype=f32
             )
@@ -487,11 +518,11 @@ def make_scheduling_problem(
             )
 
             # Windowed families (H2/H3/H4, S1) around each changed day.
-            dh_a, ds1_a = windowed_deltas(
-                a_pad, d1, n1, d2, n2, e1, e2, d1, d2, False
+            dh_a, ds1_a = region_deltas(
+                sl1, wk_sl1, d1, n1, d2, n2, e1, e2, d1, d2, False, d_days
             )
-            dh_b, ds1_b = windowed_deltas(
-                a_pad, d1, n1, d2, n2, e1, e2, d2, d1, True
+            dh_b, ds1_b = region_deltas(
+                sl2, wk_sl2, d1, n1, d2, n2, e1, e2, d2, d1, True, d_days
             )
 
             # H1 — holiday rows of the changed days.
@@ -513,9 +544,11 @@ def make_scheduling_problem(
             return d_h1 + dh_a + dh_b, ds1_a + ds1_b + d_s2 + d_s34
 
         d_hard, d_soft = jax.vmap(delta_one)(
-            d1, n1, d2, n2, e1, e2, hol1, hol2, wd1, wd2, wk1, wk2
+            d1, n1, d2, n2, e1, e2, hol1, hol2, wd1, wd2, wk1, wk2,
+            sl1, sl2, wk_sl1, wk_sl2,
         )
-        return d_hard, d_soft, _swap_fp_deltas(d1, e1, n1, d2, e2, n2)
+        fpd = _swap_fp_delta_planes(d1, e1, n1, d2, e2, n2)
+        return d_hard, d_soft, fpd
 
     def neighborhood(assign, cur_score, key):
         moves = sample_moves(key)
@@ -523,7 +556,8 @@ def make_scheduling_problem(
         scores = cur_score[None, :] + jnp.stack([d_hard, d_soft], axis=1)
         valid = jnp.ones((w_size,), bool)
         return Neighborhood(
-            scores=scores, moves=moves, valid=valid, fp_deltas=fpd
+            scores=scores, moves=moves, valid=valid,
+            fp_deltas=jnp.stack(fpd, axis=-1),
         )
 
     # -- dense-block neighborhood (the TPU hot path) ------------------------
@@ -543,16 +577,19 @@ def make_scheduling_problem(
             else jnp.concatenate([pad, x[:k]])
         )
 
-    def _sliding_sum(x, width):
-        """x: [D-width+1, E] per-window values at starts w; returns [D, E]
-        S[d] = sum of x[w] over windows containing d (w in [d-width+1, d]),
-        as a cumsum difference of two STATIC slices — no gathers."""
-        z = jnp.zeros((width - 1, x.shape[1]), x.dtype)
-        xp = jnp.concatenate([z, x, z])  # [D + width - 1, E]
-        cs = jnp.concatenate(
-            [jnp.zeros((1, x.shape[1]), x.dtype), jnp.cumsum(xp, axis=0)]
-        )
-        return cs[width : width + d_days] - cs[:d_days]
+    # Banded 0/1 window matrices: per-window employee counts and the
+    # windows-containing-day aggregation become single small MXU matmuls.
+    # The cumsum formulation they replace lowers to reduce-window on TPU —
+    # the block's five cumsums measured 1.36 of its 2.3 ms/iter in a device
+    # trace (BENCH_NOTES.md round 3).
+    _band = {}
+    for _w in (7, 14):
+        if d_days >= _w:
+            _s = np.arange(d_days - _w + 1)[:, None]
+            _d = np.arange(d_days)[None, :]
+            _band[_w] = jnp.asarray(
+                ((_s <= _d) & (_d < _s + _w)).astype(np.float32)
+            )  # [n_win, D]: window s contains day d
 
     def neighborhood_dense(assign, cur_score, key):
         """All D x E ChangeDay deltas as one dense block + n_off SwapDays
@@ -608,19 +645,17 @@ def make_scheduling_problem(
 
         # ---- H4 / S1: crossing counters.  +1 on employee e flips a window
         # iff its count is exactly at the threshold; -1 on the old employee
-        # iff it is one above.  Sliding sums aggregate the flips over the
-        # windows containing each day.
-        csum = jnp.concatenate(
-            [jnp.zeros((1, n_emp), f32), jnp.cumsum(oh, axis=0)], axis=0
-        )
-
+        # iff it is one above.  Banded matmuls (see _band) count each
+        # window and aggregate the flips over the windows containing each
+        # day.
         def crossings(width, thresh):
             if d_days < width:
                 z = jnp.zeros((d_days, n_emp), f32)
                 return z, z
-            cnt = csum[width:] - csum[:-width]        # [D-width+1, E]
-            sp = _sliding_sum((cnt == thresh).astype(f32), width)
-            sm = _sliding_sum((cnt == thresh + 1).astype(f32), width)
+            band = _band[width]
+            cnt = band @ oh                            # [D-width+1, E]
+            sp = band.T @ (cnt == thresh).astype(f32)  # [D, E]
+            sm = band.T @ (cnt == thresh + 1).astype(f32)
             return sp, sm                              # both [D, E]
 
         sp14, sm14 = crossings(14, 3)
@@ -729,17 +764,22 @@ def make_scheduling_problem(
             jnp.repeat(iota_d, n_emp),
             jnp.tile(iota_e, d_days),
         )
-        ch_scores = cur_score[None, :] + jnp.stack(
-            [d_hard.reshape(-1), d_soft.reshape(-1)], axis=1
+        ch_scores = (
+            cur_score[0] + d_hard.reshape(-1),
+            cur_score[1] + d_soft.reshape(-1),
         )
         ch_valid = jnp.ones((d_days * n_emp,), bool)
         # Dense batch fingerprints: fp' = fp ^ h(d, a[d]) ^ h(d, e) — one
-        # [D, E, 2] XOR against the precomputed h(d, e) table, enabling the
-        # reference-exact tabu filter at negligible cost (the pick-then-
-        # check retry budget exhausted on >50% of soft-phase iterations on
-        # this block, stalling the descent — BENCH_NOTES.md round 3).
-        h_old = position_hash(iota_d, a.astype(jnp.uint32))        # [D, 2]
-        ch_fpd = (h_old[:, None] ^ h_de_table).reshape(-1, 2)
+        # [D, E] XOR per lane plane against the precomputed h(d, e) table,
+        # enabling the reference-exact tabu filter at negligible cost (the
+        # pick-then-check retry budget exhausted on >50% of soft-phase
+        # iterations on this block, stalling the descent — BENCH_NOTES.md
+        # round 3).
+        h_old0, h_old1 = position_hash_planes(iota_d, a.astype(jnp.uint32))
+        ch_fpd = (
+            (h_old0[:, None] ^ h_de0).reshape(-1),
+            (h_old1[:, None] ^ h_de1).reshape(-1),
+        )
         blocks = [(ch_scores, ch_moves, ch_valid, ch_fpd)]
         k_off, k_rs = jax.random.split(key)
 
@@ -762,7 +802,7 @@ def make_scheduling_problem(
                 jnp.zeros((n_rand,), jnp.int32),
             )
             rs_dh, rs_ds, rs_fpd = exact_move_deltas(a, rs_moves)
-            rs_scores = cur_score[None, :] + jnp.stack([rs_dh, rs_ds], axis=1)
+            rs_scores = (cur_score[0] + rs_dh, cur_score[1] + rs_ds)
             blocks.append(
                 (rs_scores, rs_moves, jnp.ones((n_rand,), bool), rs_fpd)
             )
@@ -772,46 +812,54 @@ def make_scheduling_problem(
 
         delta = jax.random.randint(k_off, (n_off,), 14, d_days, jnp.int32)
         a_ext = jnp.concatenate([a, jnp.full((d_days,), -2, jnp.int32)])
-        a2 = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(a_ext, (s,), (d_days,))
-        )(delta)                                         # [n_off, D]
-        oh2 = jax.nn.one_hot(a2, n_emp, dtype=f32)       # [n_off, D, E]
-
-        # Hard + S1 contractions of the ChangeDay blocks.
         blk = jnp.concatenate([d_hard[None], d_s1[None]])          # [2, D, E]
         blk_ext = jnp.concatenate(
             [blk, jnp.zeros((2, d_days, n_emp), f32)], axis=1
         )
-        blk_sh = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(
-                blk_ext, (0, s, 0), (2, d_days, n_emp)
-            )
-        )(delta)                                         # [n_off, 2, D, E]
-        term_a = jnp.einsum("kde,jde->jkd", blk, oh2)    # block[d, a2]
-        term_b = jnp.einsum("jkde,de->jkd", blk_sh, oh)  # block[d+delta, a1]
-        hard_sw = term_a[:, 0] + term_b[:, 0]            # [n_off, D]
-        s1_sw = term_a[:, 1] + term_b[:, 1]
 
-        # S2 coupled: rows wd(d) and wd(d+delta) exchange a1 <-> a2.
-        wd2 = (weekday[None, :] + delta[:, None]) % 7    # [n_off, D]
-        wd2_oh5 = jax.nn.one_hot(wd2, 5, dtype=f32)      # [n_off, D, 5]
-        diff = oh2 - oh[None]                            # +a2 -a1 at day d
-        upd = (
-            c_base[None, None]
-            + wd_oh5[None, :, :, None] * diff[:, :, None, :]
-            - wd2_oh5[:, :, :, None] * diff[:, :, None, :]
-        )                                                # [n_off, D, 5, E]
-        s2_sw = s2_of(upd) - s2_base                     # [n_off, D]
+        # STATIC unroll over the n_off offsets: a vmapped dynamic_slice
+        # batches the starts and lowers to a gather, which serialized this
+        # whole section to 2.6 of the block's 2.9 ms/iter on chip
+        # (bench/sched_isolation.py); per-offset contiguous dynamic slices
+        # are native TPU ops.
+        def one_diagonal(delta_j):
+            a2 = jax.lax.dynamic_slice(a_ext, (delta_j,), (d_days,))  # [D]
+            oh2 = jax.nn.one_hot(a2, n_emp, dtype=f32)                # [D, E]
+            blk_sh = jax.lax.dynamic_slice(
+                blk_ext, (0, delta_j, 0), (2, d_days, n_emp)
+            )                                                          # [2,D,E]
+            # Hard + S1 contractions of the ChangeDay blocks.
+            term_a = jnp.einsum("kde,de->kd", blk, oh2)    # block[d, a2]
+            term_b = jnp.einsum("kde,de->kd", blk_sh, oh)  # block[d+dlt, a1]
+            hard_sw = term_a[0] + term_b[0]                # [D]
+            s1_sw = term_a[1] + term_b[1]
 
-        # S4 coupled: wk[a2] += wkd1 - wkd2, wk[a1] -= wkd1 - wkd2.
-        wkd2 = (wd2 >= 5).astype(f32)                    # [n_off, D]
-        dw = (weekend_f[None, :] - wkd2)[:, :, None]     # [n_off, D, 1]
-        wk_new = wk[None, None, :] + dw * diff           # [n_off, D, E]
-        s4_sw = spread_of(wk_new, pres_b, np_b) - s4_base
+            # S2 coupled: rows wd(d) and wd(d+delta) exchange a1 <-> a2.
+            wd2 = (weekday + delta_j) % 7                  # [D]
+            wd2_oh5 = jax.nn.one_hot(wd2, 5, dtype=f32)    # [D, 5]
+            diff = oh2 - oh                                # +a2 -a1 at day d
+            upd = (
+                c_base[None]
+                + wd_oh5[:, :, None] * diff[:, None, :]
+                - wd2_oh5[:, :, None] * diff[:, None, :]
+            )                                              # [D, 5, E]
+            s2_sw = s2_of(upd) - s2_base                   # [D]
 
-        noop_sw = a2 == a[None, :]
-        hard_sw = jnp.where(noop_sw, 0.0, hard_sw)
-        soft_sw = jnp.where(noop_sw, 0.0, s1_sw + s2_sw + s4_sw)
+            # S4 coupled: wk[a2] += wkd1 - wkd2, wk[a1] -= wkd1 - wkd2.
+            wkd2 = (wd2 >= 5).astype(f32)                  # [D]
+            dw = (weekend_f - wkd2)[:, None]               # [D, 1]
+            wk_new = wk[None, :] + dw * diff               # [D, E]
+            s4_sw = spread_of(wk_new, pres_b, np_b) - s4_base
+
+            noop_sw = a2 == a
+            hard_j = jnp.where(noop_sw, 0.0, hard_sw)
+            soft_j = jnp.where(noop_sw, 0.0, s1_sw + s2_sw + s4_sw)
+            return hard_j, soft_j, a2
+
+        parts = [one_diagonal(delta[j]) for j in range(n_off)]
+        hard_sw = jnp.stack([p[0] for p in parts])         # [n_off, D]
+        soft_sw = jnp.stack([p[1] for p in parts])
+        a2 = jnp.stack([p[2] for p in parts])
         valid_sw = (iota_d[None, :] + delta[:, None]) <= d_days - 1
 
         d2_sw = jnp.minimum(iota_d[None, :] + delta[:, None], d_days - 1)
@@ -821,12 +869,16 @@ def make_scheduling_problem(
             d2_sw.reshape(-1).astype(jnp.int32),
             jnp.zeros((n_off * d_days,), jnp.int32),
         )
-        sw_scores = cur_score[None, :] + jnp.stack(
-            [hard_sw.reshape(-1), soft_sw.reshape(-1)], axis=1
+        sw_scores = (
+            cur_score[0] + hard_sw.reshape(-1),
+            cur_score[1] + soft_sw.reshape(-1),
         )
-        d1_b = jnp.broadcast_to(iota_d[None, :], (n_off, d_days))
+        d1_b = jnp.broadcast_to(iota_d[None, :], (n_off, d_days)).astype(
+            jnp.int32
+        )
         a_b = jnp.broadcast_to(a[None, :], (n_off, d_days))
-        sw_fpd = _swap_fp_deltas(d1_b, a_b, a2, d2_sw, a2, a_b).reshape(-1, 2)
+        f0, f1 = _swap_fp_delta_planes(d1_b, a_b, a2, d2_sw, a2, a_b)
+        sw_fpd = (f0.reshape(-1), f1.reshape(-1))
         blocks.append((sw_scores, sw_moves, valid_sw.reshape(-1), sw_fpd))
         return _cat_blocks(blocks)
 

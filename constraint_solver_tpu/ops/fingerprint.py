@@ -37,18 +37,26 @@ def _mix32(h: jax.Array) -> jax.Array:
     return h
 
 
-def position_hash(idx: jax.Array, value_bits: jax.Array) -> jax.Array:
-    """h(i, v) for both lanes: [..., 2] uint32.
+def position_hash_planes(idx: jax.Array, value_bits: jax.Array) -> tuple:
+    """h(i, v) as two separate uint32[...] planes.
 
-    ``idx`` int32[...], ``value_bits`` uint32[...].
-    """
+    Wide batched hashing should stay in planes: a materialized [..., 2]
+    array tiles as (8, 128) on TPU, padding the trailing dim 64x."""
     idx = idx.astype(jnp.uint32)
     value_bits = value_bits.astype(jnp.uint32)
     lanes = []
     for salt in _SALTS:
         pos = _mix32(idx ^ jnp.uint32(salt))
         lanes.append(_mix32(value_bits ^ pos))
-    return jnp.stack(lanes, axis=-1)
+    return tuple(lanes)
+
+
+def position_hash(idx: jax.Array, value_bits: jax.Array) -> jax.Array:
+    """h(i, v) for both lanes: [..., 2] uint32.
+
+    ``idx`` int32[...], ``value_bits`` uint32[...].
+    """
+    return jnp.stack(position_hash_planes(idx, value_bits), axis=-1)
 
 
 def _xor_reduce(lane_hashes: jax.Array) -> jax.Array:

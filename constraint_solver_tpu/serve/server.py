@@ -333,6 +333,13 @@ def run_server(host="127.0.0.1", port=8787, service: SolverService | None = None
     run it on your own thread: ``srv = run_server(...); srv.serve_forever()``
     is handled internally when called directly."""
     handler = type("Handler", (_Handler,), {"service": service or SolverService()})
+    # Solver endpoints jit-compile inside per-request handler threads;
+    # LLVM's compile recursion can overflow the default 8 MB thread stack
+    # (observed as an intermittent SIGSEGV in backend_compile_and_load
+    # during full-suite runs).  stack_size() is process-global for threads
+    # spawned afterwards, which covers ThreadingHTTPServer's per-request
+    # threads.
+    threading.stack_size(64 * 1024 * 1024)
     server = ThreadingHTTPServer((host, port), handler)
     return server
 
