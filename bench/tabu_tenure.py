@@ -1,13 +1,20 @@
 """Tabu-tenure sensitivity sweep (VERDICT round-2 item 5).
 
-The reference nqueens CLI configures all_solutions_capacity=100_000 with
-expiry=10_000 (ref examples/nqueens/src/main.rs:131-134); the repo's dense
-ring defaults to 512 slots, so effective tenure is capacity-bound.  This
-sweep measures what the ring size actually buys: time-to-zero on
-nqueens-1000 and quality-at-fixed-rounds on scheduling-365d-20e across
-capacities (expiry scaled to keep the reference's 512:10_000 proportion).
+The reference configures all_solutions_capacity=100_000 with expiry=10_000
+on nqueens (ref examples/nqueens/src/main.rs:131-134) and capacity=100_000
+with expiry=1_000 on scheduling (main.rs:25-31); the repo's dense ring
+defaults to 512 slots, so effective tenure is CAPACITY-bound: the ring
+forgets a solution after `cap` further pushes even when the configured
+iteration expiry would keep it tabu.  This sweep holds expiry at the
+reference value and sweeps ring capacity, measuring what capacity buys:
+
+- nqueens-1000: time-to-zero (REPS fresh solves each),
+- scheduling-365d-20e: best (hard, soft) at a ~60 s wall, plus moves/s
+  (the exact [W, T] filter's cost grows with T, so bigger rings must pay
+  for themselves in quality per wall-second, not per round).
 
 Run on the chip: python -u bench/tabu_tenure.py
+Env: TENURE_CAPS, TENURE_REPS, TENURE_BUDGET.
 """
 
 import datetime
@@ -29,6 +36,7 @@ from constraint_solver_tpu.parallel.population import PopulationSolver  # noqa: 
 
 CAPS = [int(c) for c in os.environ.get("TENURE_CAPS", "128,256,512,2048").split(",")]
 REPS = int(os.environ.get("TENURE_REPS", 2))
+BUDGET = float(os.environ.get("TENURE_BUDGET", 60))
 
 
 def nqueens_cfg(cap: int) -> SolverConfig:
@@ -36,7 +44,7 @@ def nqueens_cfg(cap: int) -> SolverConfig:
         seed="bench",
         local_search_max_iterations=250,
         all_solutions_capacity=cap,
-        all_solution_iteration_expiry=max(1, cap * 10_000 // 512),
+        all_solution_iteration_expiry=10_000,  # reference value, held fixed
         best_solutions_capacity=8,
         iterated_local_search_max_iterations=10_000,
         max_allow_no_improvement_for=5,
@@ -48,7 +56,7 @@ def sched_cfg(cap: int) -> SolverConfig:
         seed="bench",
         local_search_max_iterations=200,
         all_solutions_capacity=cap,
-        all_solution_iteration_expiry=max(1, cap * 1_000 // 256),
+        all_solution_iteration_expiry=1_000,  # reference value, held fixed
         best_solutions_capacity=16,
         iterated_local_search_max_iterations=10_000,
         max_allow_no_improvement_for=20,
@@ -64,13 +72,12 @@ def main() -> None:
         {e: [d0 + datetime.timedelta(days=(17 * e + 11 * k) % 365)
              for k in range(10)] for e in range(20)},
     )
-    sched = make_scheduling_problem(spec, proposer="dense", n_rand_swaps=0)
+    sched = make_scheduling_problem(spec, proposer="dense")
 
-    print("cap | expiry | nqueens ttz (s, reps) | sched best@40r | sched wall",
-          flush=True)
+    print(f"caps={CAPS} reps={REPS} sched_budget={BUDGET}s", flush=True)
     for cap in CAPS:
         ncfg, scfg = nqueens_cfg(cap), sched_cfg(cap)
-        # warm-up compiles for this ring shape
+        # nqueens: warm-up compile for this ring shape, then timed solves.
         PopulationSolver(nq, ncfg, population=64, exchange_every=2).run(
             max_rounds=2, chunk=2
         )
@@ -81,16 +88,25 @@ def main() -> None:
             s.run(chunk=2)
             ttzs.append(round(time.time() - t0, 2))
             assert s.get_best_score()[0] == 0.0, s.get_best_score()
-        sp = PopulationSolver(sched, scfg, population=64, exchange_every=2)
-        sp.run(max_rounds=2, chunk=2)
+        # scheduling: warm-up, then one ~BUDGET-second wall solve probing
+        # the 8-byte best score each chunk.
+        warm = PopulationSolver(sched, scfg, population=64, exchange_every=2)
+        warm.state = warm._chunk_jit(warm.state, 2)
         sp = PopulationSolver(sched, scfg, population=64, exchange_every=2)
         t0 = time.time()
-        sp.run(max_rounds=40, chunk=2)
-        wall = round(time.time() - t0, 2)
+        rounds = 0
+        while True:
+            sp.state = sp._chunk_jit(sp.state, 2)
+            rounds += 2
+            best = sp.get_best_score()
+            el = time.time() - t0
+            if el >= BUDGET or best == (0.0, 0.0):
+                break
+        sp._wall = el
+        st = sp.stats()
         print(
-            f"{cap:5d} | {scfg.all_solution_iteration_expiry:6d}/"
-            f"{ncfg.all_solution_iteration_expiry:6d} | {ttzs} | "
-            f"{sp.get_best_score()} | {wall}s",
+            f"cap={cap:5d} | nq ttz {ttzs} | sched best@{el:.0f}s "
+            f"{best} rounds={rounds} {st['moves_per_sec']:.3g} moves/s",
             flush=True,
         )
 

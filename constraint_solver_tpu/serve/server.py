@@ -451,7 +451,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     print(f"devices: {jax.devices()}", flush=True)
     server = run_server(args.host, args.port)
-    print(f"serving on http://{args.host}:{args.port}", flush=True)
+    # Report the BOUND port (--port 0 asks the OS for a free one).
+    print(f"serving on http://{args.host}:{server.server_address[1]}",
+          flush=True)
     server.serve_forever()
 
 

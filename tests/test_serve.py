@@ -1,23 +1,40 @@
 """Serve layer tests: the wasm-bridge-shaped HTTP contract
-(ref web/employee-scheduling-wasm-bindgen/src/lib.rs + worker.ts protocol)."""
+(ref web/employee-scheduling-wasm-bindgen/src/lib.rs + worker.ts protocol).
+
+The server runs as a real subprocess (its production shape): jit-compiling
+inside this process's HTTP handler threads segfaulted XLA's CPU compiler
+intermittently once the full suite had accumulated enough compiled
+programs, and a subprocess also exercises the actual
+`python -m constraint_solver_tpu.serve.server` entry point end-to-end."""
 
 import json
-import threading
+import os
+import subprocess
+import sys
+import time
 import urllib.request
 
 import pytest
 
-from constraint_solver_tpu.serve.server import SolverService, run_server
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
 def server_url():
-    server = run_server("127.0.0.1", 0, SolverService())
-    port = server.server_address[1]
-    t = threading.Thread(target=server.serve_forever, daemon=True)
-    t.start()
-    yield f"http://127.0.0.1:{port}"
-    server.shutdown()
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "constraint_solver_tpu.serve.server",
+         "--port", "0", "--platform", "cpu"],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    url = None
+    for line in proc.stdout:
+        if line.startswith("serving on "):
+            url = line.split("serving on ", 1)[1].strip()
+            break
+    assert url, "server did not report its address"
+    yield url
+    proc.terminate()
+    proc.wait(timeout=30)
 
 
 def _req(url, method="GET", body=None):
