@@ -259,7 +259,14 @@ def main() -> None:
             {e: [d0 + datetime.timedelta(days=(17 * e + 11 * k) % s_days)
                  for k in range(10)] for e in range(s_emps)},
         )
-        sched_p = make_scheduling_problem(spec, proposer="dense")
+        # n_rand_swaps=256: the measured quality knob (bench/sched_quality_
+        # sweep.py) — the late soft phase needs close-pair swaps the >=14-day
+        # diagonals cannot express; 256 matches the C++ baseline's 60 s
+        # quality (0, 8) where the default 64 plateaus at (0, 9).
+        sched_p = make_scheduling_problem(
+            spec, proposer="dense",
+            n_rand_swaps=int(os.environ.get("BENCH_RAND_SWAPS", 256)),
+        )
         sched_cfg = SolverConfig(
             seed="bench",
             local_search_max_iterations=200,

@@ -36,6 +36,11 @@ CONFIGS = {
     "deep": (64, 2, 1000, 50, 64),
     "p256x16": (256, 16, 200, 20, 64),
     "swaps256": (64, 2, 200, 20, 256),
+    # Round-3 follow-up: combine the two levers that each beat base —
+    # deeper descents reach the plateau 2x sooner, wide random swaps
+    # escape it (BENCH_NOTES round 3).
+    "deep_swaps256": (64, 2, 1000, 50, 256),
+    "mid_swaps256": (64, 2, 400, 30, 256),
 }
 
 
