@@ -135,3 +135,76 @@ def test_fp_deltas_match_applied_fingerprints(proposer):
     got = np.asarray(cur_fp[None, :] ^ nb.fp_deltas)
     valid = np.asarray(nb.valid)
     np.testing.assert_array_equal(got[valid], want[valid])
+
+
+@pytest.mark.parametrize(
+    "spec", [SPECS[0], SPECS[1], SPECS[7]],
+    ids=lambda s: f"{s.num_days}d{s.num_employees}e",
+)
+def test_compound_slot_exact(spec):
+    """The compound-move slot (n_compound_segments > 0): the LAST candidate
+    applies the best improving ChangeDay move of each day segment at once.
+    Score and fingerprint must be exact through the same vmapped
+    apply-and-rescore oracle as the single-move block (the compound wrapper
+    routes every other index through the unchanged single-move path)."""
+    problem = make_scheduling_problem(
+        spec, proposer="dense", n_rand_swaps=8, n_compound_segments=4
+    )
+    assert problem.width == spec.num_days * spec.num_employees + 8 + (
+        4 * spec.num_days if spec.num_days >= 15 else 0
+    ) + 1
+    for trial in range(2):
+        key = jax.random.key(hash((spec.num_days, trial, 11)) % (2**31))
+        k_init, k_nb = jax.random.split(key)
+        assign = problem.init(k_init)
+        cur = problem.score(assign)
+        cur_fp = problem.fingerprint(assign)
+        nb = jax.jit(problem.neighborhood)(assign, cur, k_nb)
+        idxs = jnp.arange(problem.width)
+        states = jax.vmap(lambda i: problem.apply_move(assign, nb.moves, i))(
+            idxs
+        )
+        want = np.asarray(jax.vmap(problem.score)(states))
+        valid = np.asarray(nb.valid)
+        np.testing.assert_array_equal(np.asarray(nb.scores)[valid], want[valid])
+        want_fp = np.asarray(jax.vmap(problem.fingerprint)(states))
+        got_fp = np.asarray(cur_fp[None, :] ^ nb.fp_deltas)
+        np.testing.assert_array_equal(got_fp[valid], want_fp[valid])
+        # move_fp agrees with fp_deltas on the compound slot.
+        ci = problem.width - 1
+        np.testing.assert_array_equal(
+            np.asarray(problem.move_fp(assign, cur_fp, nb.moves, jnp.int32(ci))),
+            got_fp[ci],
+        )
+        # Valid compound slot <=> >= 2 segments selected an improving move;
+        # when valid, the applied state changes >= 2 days at once.
+        sel = np.asarray(nb.moves[6])
+        assert bool(valid[ci]) == (sel.sum() >= 2)
+        if valid[ci]:
+            changed = (np.asarray(states[ci]) != np.asarray(assign)).sum()
+            assert changed >= 2
+
+
+def test_compound_solver_end_to_end():
+    """Engine + compound slot reach the reference-quality region, and the
+    compound slot is actually taken early on (the whole point: multiple
+    applied moves per lockstep iteration)."""
+    spec = _spec(31, 7)
+    problem = make_scheduling_problem(
+        spec, proposer="dense", n_compound_segments=4
+    )
+    cfg = SolverConfig(
+        seed="dense",
+        local_search_max_iterations=200,
+        iterated_local_search_max_iterations=40,
+        all_solutions_capacity=128,
+        all_solution_iteration_expiry=400,
+        best_solutions_capacity=16,
+        max_allow_no_improvement_for=10,
+    )
+    s = Solver(problem, cfg)
+    s.run(max_rounds=40, chunk=10)
+    (hard, soft), assign = s.get_best_solution()
+    assert hard == 0.0, (hard, soft)
+    assert soft <= 12.0, (hard, soft)
+    assert len(assign) == 31
