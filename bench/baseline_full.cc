@@ -52,7 +52,8 @@
 // solutions its engine holds (elite-archive inserts at chunk boundaries),
 // so crediting the baseline's rejected candidates would compare a
 // best-of-everything-scored envelope against a best-solution-held
-// trajectory (the round-3 probe asymmetry, BENCH_NOTES.md).
+// trajectory (see BENCH_NOTES.md "Quality-probe methodology (probe
+// asymmetry)" for the full rules and the measured chunk-boundary lag).
 //
 // Build: g++ -O3 -march=native -o baseline_full baseline_full.cc
 // Run:   ./baseline_full nqueens <n> <budgets,csv,seconds> [seed]

@@ -78,7 +78,9 @@ def main() -> None:
     while True:
         s.state = s._chunk_jit(s.state, 2)
         rounds += 2
-        if rounds == SWITCH:
+        if s is sa and rounds >= SWITCH:
+            # >= (not ==): an odd TP_SWITCH must still trigger the handoff
+            # on the next 2-round boundary (ADVICE round 3).
             sb.state = s.state  # program-independent pytree handoff
             s = sb
         best = s.get_best_score()

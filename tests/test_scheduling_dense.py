@@ -188,11 +188,30 @@ def test_compound_slot_exact(spec):
 def test_compound_solver_end_to_end():
     """Engine + compound slot reach the reference-quality region, and the
     compound slot is actually taken early on (the whole point: multiple
-    applied moves per lockstep iteration)."""
+    applied moves per lockstep iteration).  Selection is asserted directly:
+    a greedy walk from a random start must pick the compound slot (the
+    engine's pick is the lex-argmin over valid candidates, and with an empty
+    tabu ring early descents reduce to exactly that)."""
     spec = _spec(31, 7)
     problem = make_scheduling_problem(
         spec, proposer="dense", n_compound_segments=4
     )
+    from constraint_solver_tpu.ops.lex import lex_argmin
+
+    assign = problem.init(jax.random.key(3))
+    compound_picks = 0
+    for it in range(8):
+        nb = problem.neighborhood(
+            assign, problem.score(assign), jax.random.key(100 + it)
+        )
+        scores = jnp.where(
+            nb.valid[:, None], nb.scores, jnp.full_like(nb.scores, jnp.inf)
+        )
+        pick = int(lex_argmin(scores))
+        if pick == problem.width - 1:
+            compound_picks += 1
+        assign = problem.apply_move(assign, nb.moves, jnp.int32(pick))
+    assert compound_picks >= 1, "compound slot never selected in 8 greedy steps"
     cfg = SolverConfig(
         seed="dense",
         local_search_max_iterations=200,
