@@ -22,6 +22,7 @@ unavailable.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import subprocess
@@ -95,7 +96,7 @@ def measure_scheduling_baseline(days: int, emps: int) -> float:
         return SCHED_FALLBACK_BASELINE
 
 
-def run_full_baseline(args: list[str], budgets: list[float]) -> dict | None:
+def run_full_baseline(args: list[str], budgets: list[float], seed: int) -> dict | None:
     """Complete reference-algorithm C++ baseline (bench/baseline_full.cc):
     best score at each wall budget.  Round budget 0 = uncapped (the wall is
     the binding limit — strictly stronger than the reference CLI config)."""
@@ -105,8 +106,8 @@ def run_full_baseline(args: list[str], budgets: list[float]) -> dict | None:
     budget_str = ",".join(str(b) for b in budgets)
     try:
         out = subprocess.run(
-            [exe, *args, budget_str] + (["42", "1", "0"] if args[0] == "scheduling"
-                                        else ["42", "0"]),
+            [exe, *args, budget_str]
+            + ([str(seed), "1", "0"] if args[0] == "scheduling" else [str(seed), "0"]),
             check=True, capture_output=True, timeout=max(budgets) + 60,
         )
         return json.loads(out.stdout.strip())
@@ -115,16 +116,49 @@ def run_full_baseline(args: list[str], budgets: list[float]) -> dict | None:
         return None
 
 
+def lex_median_worst(runs: list[list[tuple]]) -> tuple[list, list]:
+    """Per-budget lexicographic [median, worst] over fresh-state repeats
+    (quality variance discipline: single-run scores carry ~1 soft point of
+    noise at these walls — BENCH_NOTES.md round 4)."""
+    med, worst = [], []
+    for i in range(len(runs[0])):
+        s = sorted(r[i] for r in runs)
+        med.append(s[len(s) // 2])
+        worst.append(s[-1])
+    return med, worst
+
+
+def baseline_quality(args: list[str], budgets: list[float],
+                     seeds=(42, 43, 44)) -> tuple[list, list] | None:
+    runs = []
+    for seed in seeds:
+        r = run_full_baseline(args, budgets, seed)
+        if r is None:
+            return None
+        runs.append(list(zip(r["best_hard"], r["best_soft"])))
+    return lex_median_worst(runs)
+
+
+# Probe every round while rounds < this, every `chunk` after: cuts the
+# chunk-boundary probe lag to one round near the smallest budget
+# (BENCH_NOTES.md "Quality-probe methodology").
+PROBE_FINE_ROUNDS = 16
+
+
 def tpu_best_at_walls(make_solver, budgets: list[float], chunk: int) -> list:
-    """Run a fresh solver, probing the global best after every chunk; record
-    the best score as each wall budget passes.  Probes transfer 8 bytes.
-    Assumes programs are already compiled (warm-up done by the caller)."""
+    """Run a fresh solver, probing the global best after every chunk (every
+    ROUND before PROBE_FINE_ROUNDS); record the best score as each wall
+    budget passes.  Probes transfer 8 bytes.  Assumes programs are already
+    compiled (warm-up done by the caller)."""
     solver = make_solver()
     out: list = []
     bi = 0
+    rounds = 0
     t0 = time.time()
     while bi < len(budgets):
-        solver.run(max_rounds=chunk, chunk=chunk)
+        n = 1 if rounds < PROBE_FINE_ROUNDS else chunk
+        solver.run(max_rounds=n, chunk=n)
+        rounds += n
         best = solver.get_best_score()
         el = time.time() - t0
         while bi < len(budgets) and el >= budgets[bi]:
@@ -137,8 +171,15 @@ def tpu_best_at_walls(make_solver, budgets: list[float], chunk: int) -> list:
     return out
 
 
-def quality_leq(tpu: tuple, base_hard: float, base_soft: float) -> bool:
-    return (tpu[0], tpu[1]) <= (base_hard, base_soft)
+def tpu_quality(make_solver, budgets: list[float], chunk: int,
+                reps: int) -> tuple[list, list]:
+    """>= reps fresh-state quality runs (per-rep seeds differ via
+    make_solver(rep)); per-budget lexicographic [median, worst]."""
+    runs = [tpu_best_at_walls(lambda: make_solver(rep), budgets, chunk)
+            for rep in range(reps)]
+    for rep, r in enumerate(runs):
+        log(f"  tpu quality rep={rep}: {r}")
+    return lex_median_worst(runs)
 
 
 def main() -> None:
@@ -173,6 +214,7 @@ def main() -> None:
     solver = PopulationSolver(problem, config, population=POP, exchange_every=CHUNK)
     t0 = time.time()
     solver.run(max_rounds=CHUNK, chunk=CHUNK)
+    solver.run(max_rounds=1, chunk=1)  # fine-probe program shape
     log(f"warm-up (compile) {time.time() - t0:.1f}s")
 
     # --- timed solves from fresh state, REPEATS times ---------------------
@@ -201,27 +243,63 @@ def main() -> None:
     log(f"median: ttz={ttz:.2f}s throughput={throughput:.3g} moves/s "
         f"(spread {min(tputs):.3g}..{max(tputs):.3g})")
 
-    # --- quality-at-wall: nqueens-1000, both sides -------------------------
+    # --- quality-at-wall: nqueens-1000, both sides, 3 repeats each ---------
     nq_quality = {}
-    base_nq = run_full_baseline(["nqueens", str(N)], BUDGETS)
+    base_nq = baseline_quality(["nqueens", str(N)], BUDGETS)
     if base_nq:
-        log(f"baseline nqueens best-at-wall: {base_nq['best_hard']}")
-        tpu_at = tpu_best_at_walls(
-            lambda: PopulationSolver(problem, config, population=POP,
-                                     exchange_every=CHUNK),
-            BUDGETS, CHUNK,
+        base_med, base_worst = base_nq
+        log(f"baseline nqueens best-at-wall median={base_med} worst={base_worst}")
+        tpu_med, tpu_worst = tpu_quality(
+            lambda rep: PopulationSolver(
+                problem,
+                dataclasses.replace(config, seed=f"bench{rep}"),
+                population=POP, exchange_every=CHUNK,
+            ),
+            BUDGETS, CHUNK, REPEATS,
         )
-        log(f"tpu nqueens best-at-wall: {tpu_at}")
-        ok = all(
-            quality_leq(t, bh, bs)
-            for t, bh, bs in zip(tpu_at, base_nq["best_hard"], base_nq["best_soft"])
-        )
+        log(f"tpu nqueens best-at-wall median={tpu_med} worst={tpu_worst}")
+        ok = all(t <= b for t, b in zip(tpu_med, base_med))
         nq_quality = {
             "quality_budgets_s": BUDGETS,
-            "nqueens_baseline_best_at": base_nq["best_hard"],
-            "nqueens_tpu_best_at": [t[0] for t in tpu_at],
+            "quality_repeats": REPEATS,
+            "nqueens_baseline_best_at": [list(b) for b in base_med],
+            "nqueens_baseline_best_at_worst": [list(b) for b in base_worst],
+            "nqueens_tpu_best_at": [list(t) for t in tpu_med],
+            "nqueens_tpu_best_at_worst": [list(t) for t in tpu_worst],
             "nqueens_quality_ok": ok,
         }
+
+    # --- quality-at-wall where the baseline actually SOLVES: nqueens-128.
+    # At n=1000 the baseline barely moves off a random start, so the n=1000
+    # gate proves speed, not search quality; n=128 races both sides to a
+    # solved board (the reference solves small boards reliably,
+    # ref examples/nqueens/src/main.rs:152-201). ---------------------------
+    try:
+        n128 = 128
+        p128 = make_nqueens_problem(n128, use_pallas=on_tpu)
+        b128 = baseline_quality(["nqueens", str(n128)], BUDGETS)
+        if b128:
+            b128_med, b128_worst = b128
+            w = PopulationSolver(p128, config, population=64,
+                                 exchange_every=CHUNK)
+            w.run(max_rounds=1, chunk=1)  # compile warm-up (both shapes)
+            w.run(max_rounds=CHUNK, chunk=CHUNK)
+            t128_med, t128_worst = tpu_quality(
+                lambda rep: PopulationSolver(
+                    p128, dataclasses.replace(config, seed=f"bench{rep}"),
+                    population=64, exchange_every=CHUNK,
+                ),
+                BUDGETS, CHUNK, REPEATS,
+            )
+            ok128 = all(t <= b for t, b in zip(t128_med, b128_med))
+            log(f"nqueens-128 baseline median={b128_med} tpu median={t128_med}")
+            nq_quality.update({
+                "nqueens128_baseline_best_at": [list(b) for b in b128_med],
+                "nqueens128_tpu_best_at": [list(t) for t in t128_med],
+                "nqueens128_quality_ok": ok128,
+            })
+    except Exception as e:  # noqa: BLE001
+        log(f"nqueens-128 quality failed: {e}")
 
     # --- extra: parallel min-conflicts time-to-zero (beyond-parity mode) --
     from constraint_solver_tpu.models.nqueens_parallel import pmc_solve
@@ -237,6 +315,36 @@ def main() -> None:
         f"steps={int(out.steps)} time-to-zero={pmc_ttz:.2f}s"
     )
 
+    # --- nqueens-4096 via the ILS flagship path (not PMC): sampled-column
+    # dense block at a board size the reference's O(n^2)-rescore-per-move
+    # loop cannot touch (~100 ms/move at n=4096). ---------------------------
+    nq4096 = {}
+    try:
+        n_big = int(os.environ.get("BENCH_NQ_BIG", 4096))
+        p_big_pop = int(os.environ.get("BENCH_NQ_BIG_POP", 16))
+        p_big = make_nqueens_problem(n_big, sample_cols=64, use_pallas=on_tpu)
+        cfg_big = dataclasses.replace(config, seed="bench-big")
+        wb = PopulationSolver(p_big, cfg_big, population=p_big_pop,
+                              exchange_every=CHUNK)
+        wb.run(max_rounds=CHUNK, chunk=CHUNK)  # compile warm-up
+        sb = PopulationSolver(p_big, cfg_big, population=p_big_pop,
+                              exchange_every=CHUNK)
+        t0 = time.time()
+        sb.run(max_rounds=int(os.environ.get("BENCH_NQ_BIG_ROUNDS", 300)),
+               chunk=CHUNK)
+        big_ttz = time.time() - t0
+        (big_hard, _), _ = sb.get_best_solution()
+        big_tput = sb.stats()["ls_iterations"] * p_big.width / big_ttz
+        log(f"nqueens-{n_big} ILS (P={p_big_pop}, A=64): best={big_hard} "
+            f"ttz={big_ttz:.1f}s {big_tput:.3g} moves/s")
+        nq4096 = {
+            "nqueens4096_ils_ttz_s": round(big_ttz, 2),
+            "nqueens4096_ils_best_hard": big_hard,
+            "nqueens4096_ils_moves_per_sec": round(big_tput),
+        }
+    except Exception as e:  # noqa: BLE001
+        log(f"nqueens-4096 ILS failed: {e}")
+
     # --- employee-scheduling 365d x 20e (the second north-star domain,
     # BASELINE.json) — dense-block delta scoring: throughput vs the
     # reference-style C++ hot-loop baseline PLUS quality-at-wall vs the
@@ -249,6 +357,14 @@ def main() -> None:
             ScheduleSpec,
             make_scheduling_problem,
         )
+        from constraint_solver_tpu.parallel.phased import (
+            make_phased_scheduling_solver,
+        )
+
+        def make_sched_quality_solver(spec, seed, pop):
+            return make_phased_scheduling_solver(
+                spec, seed, population=pop, exchange_every=2
+            )
 
         s_days, s_emps, s_pop = 365, 20, int(os.environ.get("BENCH_SPOP", 64))
         sched_baseline = measure_scheduling_baseline(s_days, s_emps)
@@ -298,29 +414,34 @@ def main() -> None:
             "scheduling365_vs_baseline": round(s_tput / sched_baseline, 1),
         }
 
-        base_sched = run_full_baseline(
+        base_sched = baseline_quality(
             ["scheduling", str(s_days), str(s_emps)], BUDGETS
         )
         if base_sched:
-            log(f"baseline scheduling best-at-wall: "
-                f"{list(zip(base_sched['best_hard'], base_sched['best_soft']))}")
-            tpu_at = tpu_best_at_walls(
-                lambda: PopulationSolver(sched_p, sched_cfg, population=s_pop,
-                                         exchange_every=2),
-                BUDGETS, 2,
+            sb_med, sb_worst = base_sched
+            log(f"baseline scheduling best-at-wall median={sb_med} "
+                f"worst={sb_worst}")
+            # The quality race runs the PHASED production mode (deep
+            # descents + compound slot early, wide unrestricted swaps late
+            # — the round-3/4 measured complementary winners, see
+            # make_sched_quality_solver above and BENCH_NOTES.md round 4).
+            warm = make_sched_quality_solver(spec, "warm", s_pop)
+            warm.run(max_rounds=16, chunk=1)  # both phases' chunk-1 programs
+            warm.run(max_rounds=4, chunk=2)   # phase-2 chunk-2 program
+            st_med, st_worst = tpu_quality(
+                lambda rep: make_sched_quality_solver(spec, f"bench{rep}",
+                                                      s_pop),
+                BUDGETS, 2, REPEATS,
             )
-            log(f"tpu scheduling best-at-wall: {tpu_at}")
-            ok = all(
-                quality_leq(t, bh, bs)
-                for t, bh, bs in zip(
-                    tpu_at, base_sched["best_hard"], base_sched["best_soft"]
-                )
-            )
+            ok = all(t <= b for t, b in zip(st_med, sb_med))
+            log(f"tpu scheduling best-at-wall median={st_med} worst={st_worst} "
+                f"gate={'WIN' if ok else 'LOSE'}")
             sched_extras.update({
-                "scheduling365_baseline_best_at":
-                    [[h, s] for h, s in zip(base_sched["best_hard"],
-                                            base_sched["best_soft"])],
-                "scheduling365_tpu_best_at": [[t[0], t[1]] for t in tpu_at],
+                "scheduling365_baseline_best_at": [list(b) for b in sb_med],
+                "scheduling365_baseline_best_at_worst":
+                    [list(b) for b in sb_worst],
+                "scheduling365_tpu_best_at": [list(t) for t in st_med],
+                "scheduling365_tpu_best_at_worst": [list(t) for t in st_worst],
                 "scheduling365_quality_ok": ok,
             })
     except Exception as e:  # noqa: BLE001
@@ -340,6 +461,7 @@ def main() -> None:
                 "ttz_min_s": round(ttzs[0], 2),
                 "ttz_max_s": round(ttzs[-1], 2),
                 **nq_quality,
+                **nq4096,
                 **sched_extras,
             }
         )

@@ -48,6 +48,56 @@ class Phase(NamedTuple):
     until_round: int | None = None
 
 
+def make_phased_scheduling_solver(
+    spec, seed: str, population: int = 64, exchange_every: int = 2,
+    k_exchange: int = 4, mesh=None, total_rounds: int = 100_000,
+    switch_round: int = 12,
+):
+    """The measured production phase schedule for employee scheduling
+    (BENCH_NOTES.md round 4; what bench.py races against the reference):
+
+    - phase 1 (rounds < ``switch_round``): deep descents (ls_max 600,
+      bail 25) over the dense proposer with the compound-move slot — wins
+      the early race (perturbation damage recovered within the round, up
+      to D/28 moves applied per lockstep iteration);
+    - phase 2: shallow rounds (ls_max 200, bail 20) with a 512-wide
+      unrestricted random-swap section — wins the late soft plateau
+      (frequent perturb/accept cycles + close-pair swaps).
+
+    The compound slot needs >= 2 segments of >= 28 days to be useful, so
+    it is disabled below 56 days (tiny instances keep a single phase-1
+    problem identical to phase 2 except depth).
+    """
+    from constraint_solver_tpu.core.ils import SolverConfig
+    from constraint_solver_tpu.models.scheduling import make_scheduling_problem
+
+    n_comp = spec.num_days // 28 if spec.num_days >= 56 else 0
+
+    def cfg(ls, bail):
+        return SolverConfig(
+            seed=seed,
+            local_search_max_iterations=ls,
+            best_solutions_capacity=16,
+            all_solutions_capacity=256,
+            all_solution_iteration_expiry=1_000,
+            iterated_local_search_max_iterations=total_rounds,
+            max_allow_no_improvement_for=bail,
+        )
+
+    deep = make_scheduling_problem(
+        spec, proposer="dense", n_rand_swaps=256, n_compound_segments=n_comp
+    )
+    wide = make_scheduling_problem(
+        spec, proposer="dense", n_rand_swaps=512, n_compound_segments=n_comp
+    )
+    return PhasedPopulationSolver(
+        [Phase(deep, cfg(600, 25), until_round=switch_round),
+         Phase(wide, cfg(200, 20))],
+        population=population, exchange_every=exchange_every,
+        k_exchange=k_exchange, mesh=mesh,
+    )
+
+
 class PhasedPopulationSolver:
     """Same driver API as ``PopulationSolver`` over a phase schedule.
 
