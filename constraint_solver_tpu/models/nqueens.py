@@ -154,6 +154,7 @@ def make_nqueens_problem(
     nbr_shards: int = 1,
     nbr_keep: int = 64,
     col_sampling: str = "exact",
+    block_impl: str = "slice",
 ) -> Problem:
     """Build the N-Queens problem.  ``sample_cols`` (A) is the number of
     conflicted columns sampled per proposal; default ``max(1, n // 20)``
@@ -247,13 +248,54 @@ def make_nqueens_problem(
                 interpret=(use_pallas == "interpret"),
             )
         else:
-            # dc[rp - c_j + (n-1)] and ac[rp + c_j] are CONTIGUOUS slices of
-            # the diagonal tables (length n, start n-1-c_j resp. c_j) —
-            # dynamic slices, not gathers.
-            dc_at = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(dc, (s,), (n,))
-            )((n - 1) - c)  # [A, n]
-            ac_at = jax.vmap(lambda s: jax.lax.dynamic_slice(ac, (s,), (n,)))(c)
+            f32 = jnp.float32
+            if block_impl == "slice":
+                # dc[rp - c_j + (n-1)] and ac[rp + c_j] are CONTIGUOUS
+                # slices of the diagonal tables (length n, start n-1-c_j
+                # resp. c_j) — dynamic slices, not gathers.
+                dc_at = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(dc, (s,), (n,))
+                )((n - 1) - c)  # [A, n]
+                ac_at = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(ac, (s,), (n,))
+                )(c)
+            elif block_impl == "mxu_conv":
+                # MXU formulation (VERDICT r3 directive 8): the shifted
+                # table reads are a cross-correlation of the counter table
+                # with one impulse kernel per candidate column —
+                #   out[j, p] = sum_k imp[j, k] * table[p + k],
+                # imp_d[j, n-1-c_j] = 1 gives dc[p + n-1 - c_j] and
+                # imp_a[j, c_j] = 1 gives ac[p + c_j] — so the whole [A, n]
+                # read lowers to two conv contractions on the MXU instead
+                # of A serialized dynamic slices (or the Pallas kernel's
+                # VPU rolls).  2*A*n^2 f32 FLOPs each; exact (counter
+                # values are tiny integers, f32 dot products are exact
+                # far beyond 2^24).
+                iota_f = jnp.arange(n)
+                imp_d = (iota_f[None, :] == (n - 1 - c)[:, None]).astype(f32)
+                imp_a = (iota_f[None, :] == c[:, None]).astype(f32)
+                conv = lambda tbl, imp: jax.lax.conv_general_dilated(
+                    tbl[None, None, :], imp[:, None, :], (1,), "VALID"
+                )[0]  # [A, n]
+                dc_at = conv(dc, imp_d)
+                ac_at = conv(ac, imp_a)
+            elif block_impl == "mxu_toeplitz":
+                # Same contraction with the shift structure materialized:
+                # T_d[s, p] = dc[p + n-1 - s], then one [A, n] @ [n, n]
+                # matmul.  Pays an n^2 table build per iteration that the
+                # conv form avoids — kept for the A/B (bench/kernel_iso.py).
+                iota_f = jnp.arange(n)
+                T_d = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(dc, (s,), (n,))
+                )((n - 1) - iota_f)  # [n, n]
+                T_a = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(ac, (s,), (n,))
+                )(iota_f)
+                onehot_c = (c[:, None] == iota_f[None, :]).astype(f32)
+                dc_at = onehot_c @ T_d
+                ac_at = onehot_c @ T_a
+            else:
+                raise ValueError(f"unknown block_impl {block_impl!r}")
             dp = rp - c[:, None] + (n - 1)                # [A, n]
             ap = rp + c[:, None]
             added = (
