@@ -291,6 +291,61 @@ def build(kern, i16=False, with_min=False):
     return jax.jit(jax.vmap(loop))
 
 
+def build_xla(block_impl):
+    """XLA-level block variants (no Pallas): the delta block's shifted table
+    reads computed by contiguous dynamic slices ("slice"), an impulse-kernel
+    cross-correlation on the MXU ("conv"), or a Toeplitz matmul on the MXU
+    ("toeplitz") — the VERDICT-r3 directive-8 A/B.  Same loop/timing shape
+    as the kernel variants: accumulate the block min over K iterations."""
+    n = N
+
+    def one(rc, dc, ac, cc, r, rem, cur):
+        iota_f = jnp.arange(n)
+        rp = iota_f[None, :]
+        f32 = jnp.float32
+        if block_impl == "slice":
+            dc_at = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(dc, (s,), (n,))
+            )((n - 1) - cc)
+            ac_at = jax.vmap(lambda s: jax.lax.dynamic_slice(ac, (s,), (n,)))(cc)
+        elif block_impl == "conv":
+            imp_d = (iota_f[None, :] == (n - 1 - cc)[:, None]).astype(f32)
+            imp_a = (iota_f[None, :] == cc[:, None]).astype(f32)
+            conv = lambda tbl, imp: jax.lax.conv_general_dilated(
+                tbl[None, None, :], imp[:, None, :], (1,), "VALID"
+            )[0]
+            dc_at = conv(dc, imp_d)
+            ac_at = conv(ac, imp_a)
+        else:  # toeplitz
+            T_d = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(dc, (s,), (n,))
+            )((n - 1) - iota_f)
+            T_a = jax.vmap(lambda s: jax.lax.dynamic_slice(ac, (s,), (n,)))(iota_f)
+            onehot_c = (cc[:, None] == iota_f[None, :]).astype(f32)
+            dc_at = onehot_c @ T_d
+            ac_at = onehot_c @ T_a
+        d = r - cc + (n - 1)
+        a = r + cc
+        dp = rp - cc[:, None] + (n - 1)
+        ap = rp + cc[:, None]
+        added = (
+            (rc[None, :] - (rp == r[:, None]))
+            + (dc_at - (dp == d[:, None]))
+            + (ac_at - (ap == a[:, None]))
+        )
+        row = cur + 2.0 * (added - rem[:, None])
+        return jnp.min(row)
+
+    def loop(rc, dc, ac, c, r, rem, cur, key):
+        def body(i, acc):
+            cc = (c + i) % n
+            return acc + one(rc, dc, ac, cc, r, rem, cur)
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    return jax.jit(jax.vmap(loop))
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     key = jax.random.key(0)
@@ -319,6 +374,14 @@ def main():
         variants += [
             ("i16 tables", build(_kern_i16, i16=True)),
             ("i16 + row min/argmin", build(_kern_i16min, i16=True, with_min=True)),
+        ]
+    if os.environ.get("ISO_MXU"):
+        # MXU A/B (VERDICT r3 directive 8): same block via XLA slices vs
+        # impulse-conv vs Toeplitz-matmul contractions.
+        variants += [
+            ("xla slice block", build_xla("slice")),
+            ("xla mxu-conv block", build_xla("conv")),
+            ("xla mxu-toeplitz block", build_xla("toeplitz")),
         ]
     print(f"n={N} P={P} A={A} K={K}", flush=True)
     for name, fn in variants:

@@ -5,11 +5,21 @@ on scheduling-365d-20e) with >= 3 fresh-state repeats per side:
 
 - baseline: the complete reference-algorithm C++ binary
   (bench/baseline_full.cc), seeds 42/43/44;
-- TPU: candidate production configurations (the round-3 sweep's measured
-  ingredients assembled — deep descents + compound slot early, wide
-  unrestricted swaps late), seeds b0/b1/b2, probed EVERY round for the
-  first PROBE_FINE rounds (quantifying the chunk-boundary probe lag at the
-  2.3 s budget) and every 2 rounds after.
+- TPU: candidate production configurations, seeds b0/b1/b2, probed EVERY
+  round for the first PROBE_FINE rounds (quantifying the chunk-boundary
+  probe lag at the 2.3 s budget) and every 2 rounds after.
+
+Round-4 finding that shaped the config list (first sweep pass, 2026-08-20):
+every dense-argmin configuration (shallow/deep/compound, rand_swaps
+256-512) lands EXACTLY one soft point behind the baseline at every budget
+— (0,11)/(0,10)/(0,9) vs (0,10)/(0,9)/(0,8) — with zero variance across
+repeats.  The dense block's global-argmin descent is maximally
+exploitative but diffuses poorly along the soft plateau, while the
+reference's W=100 random-window noisy descent crosses it.  Hence the
+"randlate" phase schedules: dense early (hard+soft crushed fast), then the
+reference-shaped random proposer late — every lane runs the baseline's own
+algorithm at a multiple of its iteration rate, times P lanes with elite
+exchange.
 
 Prints per-config per-budget [median, worst] and the gate verdict
 (median TPU <= median baseline at every budget).
@@ -35,6 +45,7 @@ EMPS = int(os.environ.get("R4_EMPS", 20))
 if os.environ.get("R4_CPU"):  # smoke-test mode (axon sitecustomize ignores
     import jax                # JAX_PLATFORMS; see docs/DESIGN.md)
     jax.config.update("jax_platforms", "cpu")
+
 PROBE_FINE = 16  # probe every round below this round count, every 2 after
 _DIR = os.path.dirname(os.path.abspath(__file__))
 
@@ -61,6 +72,19 @@ def run_baseline(seed):
         check=True, capture_output=True, timeout=max(BUDGETS) + 60)
     d = json.loads(out.stdout.strip())
     return [(h, s) for h, s in zip(d["best_hard"], d["best_soft"])]
+
+
+# A phase: (until_round|None, proposer_kwargs, ls, bail).
+DENSE = dict(proposer="dense", n_rand_swaps=256)
+RAND = dict(proposer="random", window_size=100)
+RAND256 = dict(proposer="random", window_size=256)
+
+CONFIGS = {
+    "randonly": [(None, RAND, 1000, 20)],
+    "randlate36": [(36, DENSE, 200, 20), (None, RAND, 1000, 20)],
+    "randlate72": [(72, DENSE, 200, 20), (None, RAND, 1000, 20)],
+    "rand256late36": [(36, DENSE, 200, 20), (None, RAND256, 1000, 20)],
+}
 
 
 def main():
@@ -90,12 +114,10 @@ def main():
 
     problems = {}
 
-    def prob(rs, comp):
-        k = (rs, comp)
+    def prob(kwargs):
+        k = tuple(sorted(kwargs.items()))
         if k not in problems:
-            problems[k] = make_scheduling_problem(
-                spec, proposer="dense", n_rand_swaps=rs,
-                n_compound_segments=comp)
+            problems[k] = make_scheduling_problem(spec, **kwargs)
         return problems[k]
 
     def cfg(ls, bail, seed):
@@ -106,47 +128,43 @@ def main():
             iterated_local_search_max_iterations=100_000,
             max_allow_no_improvement_for=bail)
 
-    # A config is a list of phases: (until_round|None, ls, bail, rs, comp).
-    CONFIGS = {
-        "shallow256": [(None, 200, 20, 256, 0)],
-        "deep-comp": [(None, 600, 25, 256, 13)],
-        "twophase": [(12, 600, 25, 256, 13), (None, 200, 20, 512, 13)],
-        "deep1000": [(None, 1000, 50, 256, 13)],
-    }
+    configs = CONFIGS
     names = os.environ.get("R4_CONFIGS")
     if names:
-        CONFIGS = {n: CONFIGS[n] for n in names.split(",")}
+        configs = {n: CONFIGS[n] for n in names.split(",")}
 
     # Warm every (problem, config, chunk) program outside the clock.
     warmed = set()
 
     def warm(phase):
-        _, ls, bail, rs, comp = phase
+        _, pk, ls, bail = phase
         for chunk in (1, 2):
-            k = (ls, bail, rs, comp, chunk)
+            k = (tuple(sorted(pk.items())), ls, bail, chunk)
             if k in warmed:
                 continue
             t0 = time.time()
-            w = PopulationSolver(prob(rs, comp), cfg(ls, bail, "warm"),
+            w = PopulationSolver(prob(pk), cfg(ls, bail, "warm"),
                                  population=POP, exchange_every=2)
             w.state = w._chunk_jit(w.state, chunk)
             w.get_best_score()
             log(f"warm {k}: {time.time() - t0:.1f}s")
             warmed.add(k)
 
-    for phases in CONFIGS.values():
+    for phases in configs.values():
         for ph in phases:
             warm(ph)
 
     results = {}
-    for name, phases in CONFIGS.items():
+    for name, phases in configs.items():
         runs = []
         for rep in range(REPS):
             seed = f"b{rep}"
+            t_mk = time.time()
             solvers = [
-                PopulationSolver(prob(rs, comp), cfg(ls, bail, seed),
+                PopulationSolver(prob(pk), cfg(ls, bail, seed),
                                  population=POP, exchange_every=2)
-                for (_, ls, bail, rs, comp) in phases]
+                for (_, pk, ls, bail) in phases]
+            log(f"  [{name} rep={rep}] solver create {time.time() - t_mk:.1f}s")
             s = solvers[0]
             phase_i = 0
             at = []
@@ -173,6 +191,9 @@ def main():
             runs.append(at)
             log(f"{name} rep={rep}: {at} rounds={rounds}")
             log(f"  traj: {traj}")
+            t_del = time.time()
+            del solvers, s
+            log(f"  [teardown {time.time() - t_del:.1f}s]")
         med = [median_worst([r[i] for r in runs])[0] for i in range(len(BUDGETS))]
         worst = [median_worst([r[i] for r in runs])[1] for i in range(len(BUDGETS))]
         ok = all(m <= b for m, b in zip(med, base_med))
