@@ -120,10 +120,64 @@ def main():
         )
         return sc, hits
 
-    def v3(exact):
+    def v2x_filter(state, score, key):
+        """V2 with the full [W, T] exact filter in place of the single
+        winner check — isolates the filter-matrix share of the V3x
+        residual (VERDICT r3 directive 5)."""
+        fp0 = prob.fingerprint(state)
+        t0 = TabuRing.create(256, 1_000)
+
+        def body(i, carry):
+            st, sc, fp, tabu = carry
+            tabu = tabu.push(fp)
+            nb = prob.neighborhood(st, sc, jax.random.fold_in(key, i))
+            fps_all = fp[None, :] ^ nb.fp_deltas
+            ok = nb.valid & ~tabu.is_tabu(fps_all)
+            idx = lex_argmin(nb.scores, ok)
+            cand_fp = fps_all[idx]
+            st = prob.apply_move(st, nb.moves, idx)
+            return st, nb.scores[idx], cand_fp, tabu
+
+        _, sc, _, _ = jax.lax.fori_loop(0, K, body, (state, score, fp0, t0))
+        return sc
+
+    def v2xb_best(state, score, key):
+        """v2x + the engine's best/bail bookkeeping carries (best state
+        tree-selects, no_improve counter) in the same fori loop — what
+        remains to V3x is the while_loop structure + carry relayouts."""
+        from constraint_solver_tpu.core.local_search import _select
+        from constraint_solver_tpu.ops.lex import lex_less
+
+        fp0 = prob.fingerprint(state)
+        t0 = TabuRing.create(256, 1_000)
+
+        def body(i, carry):
+            st, sc, fp, tabu, b_st, b_sc, ni = carry
+            tabu = tabu.push(fp)
+            nb = prob.neighborhood(st, sc, jax.random.fold_in(key, i))
+            fps_all = fp[None, :] ^ nb.fp_deltas
+            ok = nb.valid & ~tabu.is_tabu(fps_all)
+            idx = lex_argmin(nb.scores, ok)
+            cand_fp = fps_all[idx]
+            cand_sc = nb.scores[idx]
+            st2 = prob.apply_move(st, nb.moves, idx)
+            improved = lex_less(cand_sc, sc)
+            b_st = _select(improved, st2, b_st)
+            b_sc = jnp.where(improved, cand_sc, b_sc)
+            ni = jnp.where(improved, 0, ni + 1)
+            return st2, cand_sc, cand_fp, tabu, b_st, b_sc, ni
+
+        out = jax.lax.fori_loop(
+            0, K, body,
+            (state, score, fp0, t0, state, score, jnp.int32(0)),
+        )
+        return out[5]
+
+    def v3(exact, fixed_trip=False, ring=256):
         params = LsParams(
             max_iterations=K, allow_no_improvement_for=K + 1,
             tabu_exact_filter=exact, tabu_forced=True,
+            fixed_trip=fixed_trip,
         )
 
         def f(state, score, key, tabu):
@@ -143,11 +197,22 @@ def main():
          (states, scores, keys), K),
         ("V2 +tabu-single", jax.jit(jax.vmap(v2_tabu1)),
          (states, scores, keys), K),
+        ("V2x +[W,T]-filter", jax.jit(jax.vmap(v2x_filter)),
+         (states, scores, keys), K),
+        ("V2xb +best/bail bk", jax.jit(jax.vmap(v2xb_best)),
+         (states, scores, keys), K),
         ("V3 full (ptc)", jax.jit(jax.vmap(v3(False))),
          (states, scores, keys, tabu0), K),
         ("V3x full (exact)", jax.jit(jax.vmap(v3(True))),
          (states, scores, keys, tabu0), K),
+        ("V3f exact fixed-trip", jax.jit(jax.vmap(v3(True, fixed_trip=True))),
+         (states, scores, keys, tabu0), K),
     ]
+    if os.environ.get("ISO_T64"):
+        tabu64 = jax.vmap(lambda _: TabuRing.create(64, 1_000))(jnp.arange(P))
+        variants.append(
+            ("V3x exact T=64", jax.jit(jax.vmap(v3(True))),
+             (states, scores, keys, tabu64), K))
 
     print(f"D={D} E={E} P={P} K={K} iters/dispatch, width={width}", flush=True)
     for name, fn, args, iters in variants:
