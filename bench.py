@@ -357,14 +357,32 @@ def main() -> None:
             ScheduleSpec,
             make_scheduling_problem,
         )
-        from constraint_solver_tpu.parallel.phased import (
-            make_phased_scheduling_solver,
-        )
-
         def make_sched_quality_solver(spec, seed, pop):
-            return make_phased_scheduling_solver(
-                spec, seed, population=pop, exchange_every=2
+            """The measured quality-at-wall WINNER (round-4 sweep,
+            bench/sched_quality_r4.py + BENCH_NOTES.md): a population of
+            trajectories each running the REFERENCE-shaped engine — the
+            W=100 random ChangeDay/SwapDays window (ref employee-scheduling
+            lib.rs:422-491) with the reference CLI constants (ls_max 1000,
+            bail 20) — with elite exchange every 2 rounds.  The dense
+            argmin block is the throughput champion but diffuses poorly on
+            the soft plateau; the random-window noisy descent crosses it,
+            and 64 lockstep lanes run it at a multiple of the baseline's
+            iteration rate.  Medians beat the baseline at every budget:
+            (0,9)/(0,8)/(0,7) vs (0,10)/(0,9)/(0,8) at 2.3/10/60 s."""
+            q_problem = make_scheduling_problem(
+                spec, proposer="random", window_size=100
             )
+            q_cfg = SolverConfig(
+                seed=seed,
+                local_search_max_iterations=1_000,
+                best_solutions_capacity=16,
+                all_solutions_capacity=256,
+                all_solution_iteration_expiry=1_000,
+                iterated_local_search_max_iterations=100_000,
+                max_allow_no_improvement_for=20,
+            )
+            return PopulationSolver(q_problem, q_cfg, population=pop,
+                                    exchange_every=2)
 
         s_days, s_emps, s_pop = 365, 20, int(os.environ.get("BENCH_SPOP", 64))
         sched_baseline = measure_scheduling_baseline(s_days, s_emps)
@@ -426,8 +444,8 @@ def main() -> None:
             # — the round-3/4 measured complementary winners, see
             # make_sched_quality_solver above and BENCH_NOTES.md round 4).
             warm = make_sched_quality_solver(spec, "warm", s_pop)
-            warm.run(max_rounds=16, chunk=1)  # both phases' chunk-1 programs
-            warm.run(max_rounds=4, chunk=2)   # phase-2 chunk-2 program
+            warm.run(max_rounds=1, chunk=1)  # fine-probe program shape
+            warm.run(max_rounds=2, chunk=2)
             st_med, st_worst = tpu_quality(
                 lambda rep: make_sched_quality_solver(spec, f"bench{rep}",
                                                       s_pop),

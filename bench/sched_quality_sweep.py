@@ -28,7 +28,7 @@ from constraint_solver_tpu.parallel.population import PopulationSolver
 
 BUDGET = float(os.environ.get("SWEEP_BUDGET", 62))
 
-# name -> (pop, exchange_every, ls_max, bail, n_rand_swaps[, n_comp])
+# name -> (pop, exchange_every, ls_max, bail, n_rand_swaps)
 CONFIGS = {
     "base64": (64, 2, 200, 20, 64),
     "p256": (256, 2, 200, 20, 64),
@@ -41,13 +41,9 @@ CONFIGS = {
     # escape it (BENCH_NOTES round 3).
     "deep_swaps256": (64, 2, 1000, 50, 256),
     "mid_swaps256": (64, 2, 400, 30, 256),
-    # Compound-move slot: up to n_comp applied moves per lockstep iteration
-    # (one 28-day segment each) — the early-wall sequential-depth lever.
-    "comp13": (64, 2, 200, 20, 256, 13),
-    "comp13_deep": (64, 2, 1000, 50, 256, 13),
-    "comp26": (64, 2, 200, 20, 256, 26),
-    "comp52": (64, 2, 200, 20, 256, 52),
-    "comp13_ls600": (64, 2, 600, 25, 256, 13),
+    # (The compound-move slot configs that lived here were retired in
+    # round 4: the A/B measured equal quality medians at every wall budget
+    # and the knob was deleted — BENCH_NOTES.md round 4.)
     "comp13_s512": (64, 2, 200, 20, 512, 13),
 }
 
@@ -64,10 +60,9 @@ def main() -> None:
     )
 
     for name in names:
-        pop, exch, ls_max, bail, n_rs, *rest = CONFIGS[name]
+        pop, exch, ls_max, bail, n_rs = CONFIGS[name]
         problem = make_scheduling_problem(
             spec, proposer="dense", n_rand_swaps=n_rs,
-            n_compound_segments=rest[0] if rest else 0,
         )
         cfg = SolverConfig(
             seed="bench",

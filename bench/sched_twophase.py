@@ -1,9 +1,8 @@
 """Two-phase scheduling quality probe: deep descents early, shallow+wide late.
 
 The round-3 sweep (bench/sched_quality_sweep.py) measured complementary
-winners on 365d x 20e: ls=600/bail=25 with the 13-segment compound slot
-reaches (0, 11) by ~1.8 s (deep descents recover perturbation damage and the
-compound slot applies up to 13 moves/iter), while ls=200/bail=20 with 512
+winners on 365d x 20e: ls=600/bail=25 reaches (0, 11) by ~1.8 s (deep
+descents recover perturbation damage), while ls=200/bail=20 with 512
 unrestricted random swaps reaches (0, 8) by ~50 s (frequent perturb/accept
 cycles + close-pair swaps escape the soft plateau).  This probe runs the
 deep program for SWITCH_ROUNDS rounds and hands the SAME population state to
@@ -40,10 +39,10 @@ def _problems():
              for k in range(10)] for e in range(20)},
     )
     pa = make_scheduling_problem(
-        spec, proposer="dense", n_rand_swaps=256, n_compound_segments=13
+        spec, proposer="dense", n_rand_swaps=256
     )
     pb = make_scheduling_problem(
-        spec, proposer="dense", n_rand_swaps=512, n_compound_segments=13
+        spec, proposer="dense", n_rand_swaps=512
     )
     return pa, pb
 

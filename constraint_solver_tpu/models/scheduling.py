@@ -272,7 +272,6 @@ def make_scheduling_problem(
     proposer: str = "dense",
     n_swap_offsets: int = 4,
     n_rand_swaps: int = 64,
-    n_compound_segments: int = 0,
 ) -> Problem:
     """``proposer``:
 
@@ -565,12 +564,6 @@ def make_scheduling_problem(
 
     n_off = n_swap_offsets if d_days >= 15 else 0
     n_rand = n_rand_swaps if d_days >= 2 else 0
-    # Compound-move candidate: one extra slot that applies the best
-    # improving ChangeDay move of EACH of n_comp day segments at once.
-    # Needs >= 2 segments to differ from the single-move argmin.
-    n_comp = min(n_compound_segments, d_days // 2) if d_days >= 4 else 0
-    if n_comp == 1:
-        n_comp = 0
 
     def _shf(x, k, fill):
         """y[d] = x[d + k] with out-of-range filled (static k)."""
@@ -790,92 +783,6 @@ def make_scheduling_problem(
         blocks = [(ch_scores, ch_moves, ch_valid, ch_fpd)]
         k_off, k_rs = jax.random.split(key)
 
-        def _finish(blocks):
-            """Append the compound-move slot (when enabled) and build the
-            Neighborhood.  The compound candidate applies the best improving
-            ChangeDay move of EACH of n_comp day segments SIMULTANEOUSLY — a
-            TPU-native parallel-descent move: the dense block already holds
-            every single-move delta, and early descents have independent
-            improving moves in most segments, so one iteration can make up
-            to n_comp moves of progress at one iteration's latency (a
-            lockstep vmapped lane applies ~10x fewer sequential moves per
-            second than the single-threaded reference loop — this slot is
-            what closes the early-wall quality gap, BENCH_NOTES.md round 3).
-            The slot's SCORE is exact by construction: the compound state is
-            materialized and fully rescored in one fused pass — per-move
-            delta additivity is never assumed (S2/S3/S4 couple moves through
-            per-employee totals).  Its fingerprint composes exactly as the
-            XOR of the selected per-day hash updates."""
-            if n_comp == 0:
-                return _cat_blocks(blocks)
-            seg_len = -(-d_days // n_comp)
-            pad_rows = n_comp * seg_len - d_days
-            dh_p, ds_p = d_hard, d_soft
-            if pad_rows:
-                dh_p = jnp.concatenate(
-                    [dh_p, jnp.full((pad_rows, n_emp), jnp.inf, f32)]
-                )
-                ds_p = jnp.concatenate(
-                    [ds_p, jnp.zeros((pad_rows, n_emp), f32)]
-                )
-            seg_scores = jnp.stack(
-                [
-                    dh_p.reshape(n_comp, seg_len * n_emp),
-                    ds_p.reshape(n_comp, seg_len * n_emp),
-                ],
-                axis=-1,
-            )
-            loc = jax.vmap(lex_argmin)(seg_scores)         # [S]
-            sel_oh = (
-                jnp.arange(seg_len * n_emp, dtype=jnp.int32)[None, :]
-                == loc[:, None]
-            )                                              # [S, seg_len*E]
-            win_h = jnp.sum(jnp.where(sel_oh, seg_scores[..., 0], 0.0), 1)
-            win_s = jnp.sum(jnp.where(sel_oh, seg_scores[..., 1], 0.0), 1)
-            improving = (win_h < 0) | ((win_h == 0) & (win_s < 0))
-            d_sel = jnp.minimum(
-                jnp.arange(n_comp, dtype=jnp.int32) * seg_len
-                + (loc // n_emp).astype(jnp.int32),
-                d_days - 1,
-            )
-            e_sel = (loc % n_emp).astype(jnp.int32)
-            match = (
-                iota_d[None, :] == d_sel[:, None]
-            ) & improving[:, None]                         # [S, D]
-            e_at = jnp.sum(match * e_sel[:, None], axis=0).astype(a.dtype)
-            written = jnp.any(match, axis=0)
-            a_comp = jnp.where(written, e_at, a)
-            sc = score(a_comp)                             # exact rescore
-            u0 = jnp.uint32(0)
-            h_os0 = jnp.sum(jnp.where(match, h_old0[None, :], u0), axis=1)
-            h_os1 = jnp.sum(jnp.where(match, h_old1[None, :], u0), axis=1)
-            rows0 = jnp.sum(
-                jnp.where(match[:, :, None], h_de0[None, :, :], u0), axis=1
-            )                                              # [S, E]
-            rows1 = jnp.sum(
-                jnp.where(match[:, :, None], h_de1[None, :, :], u0), axis=1
-            )
-            eoh = iota_e[None, :] == e_sel[:, None]
-            h_ns0 = jnp.sum(jnp.where(eoh, rows0, u0), axis=1)
-            h_ns1 = jnp.sum(jnp.where(eoh, rows1, u0), axis=1)
-            per0, per1 = h_os0 ^ h_ns0, h_os1 ^ h_ns1      # 0 where not sel
-            fpd0, fpd1 = per0[0], per1[0]
-            for s in range(1, n_comp):
-                fpd0, fpd1 = fpd0 ^ per0[s], fpd1 ^ per1[s]
-            blocks.append((
-                (sc[0][None], sc[1][None]),
-                (
-                    jnp.zeros((1,), bool),
-                    jnp.zeros((1,), jnp.int32),
-                    jnp.zeros((1,), jnp.int32),
-                    jnp.zeros((1,), jnp.int32),
-                ),
-                (jnp.sum(improving) >= 2)[None],
-                (fpd0[None], fpd1[None]),
-            ))
-            nb = _cat_blocks(blocks)
-            return nb._replace(moves=(*nb.moves, d_sel, e_sel, improving))
-
         if n_rand > 0:
             # Unrestricted random swaps: ANY day pair, exact overlapping-
             # window deltas via the region path.  Close-pair swaps matter —
@@ -901,7 +808,7 @@ def make_scheduling_problem(
             )
 
         if n_off == 0:
-            return _finish(blocks)
+            return _cat_blocks(blocks)
 
         delta = jax.random.randint(k_off, (n_off,), 14, d_days, jnp.int32)
         a_ext = jnp.concatenate([a, jnp.full((d_days,), -2, jnp.int32)])
@@ -973,7 +880,7 @@ def make_scheduling_problem(
         f0, f1 = _swap_fp_delta_planes(d1_b, a_b, a2, d2_sw, a2, a_b)
         sw_fpd = (f0.reshape(-1), f1.reshape(-1))
         blocks.append((sw_scores, sw_moves, valid_sw.reshape(-1), sw_fpd))
-        return _finish(blocks)
+        return _cat_blocks(blocks)
 
     def materialize(assign, moves):
         """Candidate states [W, D] for the rescore A/B path — scatter-free
@@ -1047,60 +954,8 @@ def make_scheduling_problem(
         width = d_days * (n_emp - 1)
     elif proposer == "dense":
         nbr_fn = neighborhood_dense
-        width = d_days * n_emp + n_off * d_days + n_rand + (1 if n_comp else 0)
-        if n_comp:
-            # The compound slot is the LAST candidate; its move payload
-            # rides as extra (d_sel[S], e_sel[S], sel[S]) leaves on the
-            # moves pytree (only the problem's own apply/fp functions index
-            # moves, core/local_search.py:118-245 passes it through).
-            comp_idx = width - 1
-
-            def apply_move_comp(assign, moves, idx):
-                d_sel, e_sel, sel = moves[4], moves[5], moves[6]
-
-                def comp(_):
-                    iota = jnp.arange(d_days, dtype=jnp.int32)
-                    m = (iota[None, :] == d_sel[:, None]) & sel[:, None]
-                    e_at = jnp.sum(
-                        m * e_sel[:, None], axis=0
-                    ).astype(assign.dtype)
-                    return jnp.where(jnp.any(m, axis=0), e_at, assign)
-
-                return jax.lax.cond(
-                    idx == comp_idx,
-                    comp,
-                    lambda _: apply_move(assign, moves[:4], idx),
-                    None,
-                )
-
-            def move_fp_comp(assign, cur_fp, moves, idx):
-                d_sel, e_sel, sel = moves[4], moves[5], moves[6]
-
-                def comp(_):
-                    iota = jnp.arange(d_days, dtype=jnp.int32)
-                    fp = cur_fp
-                    for s in range(n_comp):  # static unroll, n_comp small
-                        old_e = jnp.sum(
-                            jnp.where(iota == d_sel[s], assign, 0)
-                        )
-                        upd = fp_update(
-                            fp, d_sel[s],
-                            old_e.astype(jnp.uint32),
-                            e_sel[s].astype(jnp.uint32),
-                        )
-                        fp = jnp.where(sel[s], upd, fp)
-                    return fp
-
-                return jax.lax.cond(
-                    idx == comp_idx,
-                    comp,
-                    lambda _: move_fp(assign, cur_fp, moves[:4], idx),
-                    None,
-                )
-
-            fp_fn, apply_fn = move_fp_comp, apply_move_comp
-        else:
-            fp_fn, apply_fn = move_fp, apply_move
+        width = d_days * n_emp + n_off * d_days + n_rand
+        fp_fn, apply_fn = move_fp, apply_move
     else:
         assert proposer in ("random", "rescore"), proposer
         nbr_fn = neighborhood if proposer == "random" else neighborhood_rescore

@@ -1,19 +1,22 @@
 """Phase-scheduled population solver: different engine programs over one
 population state as the search progresses.
 
-The round-3/4 quality measurements on employee-scheduling (BENCH_NOTES.md)
-found COMPLEMENTARY winners at different walls: deep descents with the
-compound-move slot win the early race (perturbation damage is recovered
-within the round and up to n_segments moves apply per lockstep iteration),
-while shallow rounds with a wide unrestricted random-swap section win the
-late soft plateau (frequent perturb/accept cycles + close-pair swaps).  The
-reference cannot express this — its engine parameters are fixed for the
+The reference cannot express this — its engine parameters are fixed for the
 whole run (reference local-search/src/iterated_local_search.rs:96-155) — but
 the TPU engine's ``IlsState`` pytree is *program-independent*: engine
-parameters (ls_max, bail, neighborhood shape) are trace-time constants, not
-state, so switching programs mid-run is a plain handoff of the same arrays
-to a different compiled executable.  ``PhasedPopulationSolver`` packages
-that handoff behind the standard driver API.
+parameters (ls_max, bail, neighborhood shape, even the PROPOSER) are
+trace-time constants, not state, so switching programs mid-run is a plain
+handoff of the same arrays to a different compiled executable.
+``PhasedPopulationSolver`` packages that handoff behind the standard driver
+API.
+
+Measured role (round-4 quality sweeps, BENCH_NOTES.md): phase schedules
+mixing the dense-argmin proposer with the reference-shaped random-window
+proposer were the instrument that localized the scheduling quality gap —
+the sweep's verdict was that the random-window program wins the race at
+EVERY wall budget, so the production quality mode is single-phase and this
+class is the general mechanism (e.g. dense hard-phase -> random soft-phase
+schedules on instances where the hard descent dominates the early wall).
 
 Phase boundaries are ROUND counts (not wall clock): trajectories stay
 deterministic per seed regardless of host timing jitter.
@@ -46,56 +49,6 @@ class Phase(NamedTuple):
     problem: Problem
     config: SolverConfig
     until_round: int | None = None
-
-
-def make_phased_scheduling_solver(
-    spec, seed: str, population: int = 64, exchange_every: int = 2,
-    k_exchange: int = 4, mesh=None, total_rounds: int = 100_000,
-    switch_round: int = 12,
-):
-    """The measured production phase schedule for employee scheduling
-    (BENCH_NOTES.md round 4; what bench.py races against the reference):
-
-    - phase 1 (rounds < ``switch_round``): deep descents (ls_max 600,
-      bail 25) over the dense proposer with the compound-move slot — wins
-      the early race (perturbation damage recovered within the round, up
-      to D/28 moves applied per lockstep iteration);
-    - phase 2: shallow rounds (ls_max 200, bail 20) with a 512-wide
-      unrestricted random-swap section — wins the late soft plateau
-      (frequent perturb/accept cycles + close-pair swaps).
-
-    The compound slot needs >= 2 segments of >= 28 days to be useful, so
-    it is disabled below 56 days (tiny instances keep a single phase-1
-    problem identical to phase 2 except depth).
-    """
-    from constraint_solver_tpu.core.ils import SolverConfig
-    from constraint_solver_tpu.models.scheduling import make_scheduling_problem
-
-    n_comp = spec.num_days // 28 if spec.num_days >= 56 else 0
-
-    def cfg(ls, bail):
-        return SolverConfig(
-            seed=seed,
-            local_search_max_iterations=ls,
-            best_solutions_capacity=16,
-            all_solutions_capacity=256,
-            all_solution_iteration_expiry=1_000,
-            iterated_local_search_max_iterations=total_rounds,
-            max_allow_no_improvement_for=bail,
-        )
-
-    deep = make_scheduling_problem(
-        spec, proposer="dense", n_rand_swaps=256, n_compound_segments=n_comp
-    )
-    wide = make_scheduling_problem(
-        spec, proposer="dense", n_rand_swaps=512, n_compound_segments=n_comp
-    )
-    return PhasedPopulationSolver(
-        [Phase(deep, cfg(600, 25), until_round=switch_round),
-         Phase(wide, cfg(200, 20))],
-        population=population, exchange_every=exchange_every,
-        k_exchange=k_exchange, mesh=mesh,
-    )
 
 
 class PhasedPopulationSolver:
