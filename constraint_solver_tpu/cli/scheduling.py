@@ -25,8 +25,10 @@ def main(argv=None):
     parser.add_argument(
         "--proposer", choices=["dense", "random", "rescore", "systematic"],
         default=None,
-        help="neighborhood proposer (default: dense, the TPU-first block; "
-        "random = the reference's window of random moves)")
+        help="neighborhood proposer (default: dense, the TPU-first block — "
+        "the throughput path; random = the reference's window of random "
+        "moves — the measured QUALITY-at-wall winner with --population, "
+        "BENCH_NOTES.md round 4)")
     parser.add_argument(
         "--window-size", type=int, default=None,
         help="random/rescore proposers only: moves sampled per iteration "
