@@ -401,20 +401,26 @@ def main() -> None:
             spec, proposer="dense",
             n_rand_swaps=int(os.environ.get("BENCH_RAND_SWAPS", 256)),
         )
+        # Round-4 overhead decomposition (bench/sched_round_overhead.py):
+        # ls_max=50 trims the lockstep straggler tail (bail=20 binds first,
+        # equal 40-round quality), chunk/exchange=4 halve the per-chunk
+        # probe RTT + exchange costs — 1.04e8 -> 1.31e8 moves/s measured.
         sched_cfg = SolverConfig(
             seed="bench",
-            local_search_max_iterations=200,
+            local_search_max_iterations=50,
             best_solutions_capacity=16,
             all_solutions_capacity=256,
             all_solution_iteration_expiry=1_000,
             iterated_local_search_max_iterations=10_000,
             max_allow_no_improvement_for=20,
         )
-        sp = PopulationSolver(sched_p, sched_cfg, population=s_pop)
-        sp.run(max_rounds=2, chunk=2)  # compile warm-up
-        sp = PopulationSolver(sched_p, sched_cfg, population=s_pop)
+        sp = PopulationSolver(sched_p, sched_cfg, population=s_pop,
+                              exchange_every=4)
+        sp.run(max_rounds=4, chunk=4)  # compile warm-up
+        sp = PopulationSolver(sched_p, sched_cfg, population=s_pop,
+                              exchange_every=4)
         t0 = time.time()
-        sp.run(max_rounds=40, chunk=2)  # stops early at (hard, soft) == 0
+        sp.run(max_rounds=40, chunk=4)  # stops early at (hard, soft) == 0
         s_wall = time.time() - t0
         (s_hard, s_soft), _ = sp.get_best_solution()
         s_moves = sp.stats()["moves_evaluated"]

@@ -180,7 +180,13 @@ def _population_programs(
         st = jax.lax.fori_loop(
             0, n, lambda i, s: round_at(s, base + 1 + i), st
         )
-        return exchange_elites(st, k_exchange, cull_frac)
+        # k_exchange=0 disables cross-lane exchange entirely (isolated
+        # trajectories; also the exchange-cost ablation in
+        # bench/sched_round_overhead.py — indexing the size-0 top-k would
+        # fail at trace time otherwise).
+        if k_exchange > 0:
+            st = exchange_elites(st, k_exchange, cull_frac)
+        return st
 
     # Host-read paths produce small REPLICATED outputs so they stay
     # addressable on every process under a multi-host global mesh.
