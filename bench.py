@@ -401,15 +401,17 @@ def main() -> None:
             spec, proposer="dense",
             n_rand_swaps=int(os.environ.get("BENCH_RAND_SWAPS", 256)),
         )
-        # Round-4 overhead decomposition (bench/sched_round_overhead.py):
-        # ls_max=50 trims the lockstep straggler tail (bail=20 binds first,
-        # equal 40-round quality), chunk/exchange=4 halve the per-chunk
-        # probe RTT + exchange costs — 1.04e8 -> 1.31e8 moves/s measured.
+        # Round-4 overhead decomposition (bench/sched_round_overhead.py +
+        # sched_isolation.py): ls_max=50 trims the lockstep straggler tail
+        # (bail=20 binds first, equal 40-round quality), chunk/exchange=4
+        # halve the per-chunk probe RTT + exchange costs, ring=64 shrinks
+        # the [W, T] tabu-filter matrix (the top engine-residual item) —
+        # 1.04e8 -> 1.64e8 moves/s measured at equal 40-round best.
         sched_cfg = SolverConfig(
             seed="bench",
             local_search_max_iterations=50,
             best_solutions_capacity=16,
-            all_solutions_capacity=256,
+            all_solutions_capacity=64,
             all_solution_iteration_expiry=1_000,
             iterated_local_search_max_iterations=10_000,
             max_allow_no_improvement_for=20,

@@ -76,7 +76,16 @@ class TabuRing(NamedTuple):
 
     def is_tabu(self, fps: jax.Array) -> jax.Array:
         """Vectorized membership: fps uint32[W, 2] → bool[W]
-        (ref History::is_solution_tabu, local_search.rs:197-199)."""
+        (ref History::is_solution_tabu, local_search.rs:197-199).
+
+        Layout note (measured, round 4): this 3-D broadcast + all(axis=-1)
+        beats per-lane-plane [W, T] compares (2.44 vs 4.17 ms/iter at
+        width 8760 x ring 256 in bench/sched_isolation.py V2x) — slicing
+        ``fps[:, 0]`` out of the interleaved [W, 2] layout costs a strided
+        relayout that exceeds the trailing-dim-2 padding it avoids.  The
+        filter's cost scales with ring capacity T (T=256: 0.84 ms/iter of
+        the V3x engine; T=64: ~0.4); the tabu-tenure sweep (round 3) makes
+        capacity 128 quality-equal to 256-512, which is the cheap lever."""
         match = jnp.all(fps[:, None, :] == self.fps[None, :, :], axis=-1)  # [W, T]
         alive = self.iters + self.expiry >= self.count  # [T]
         return jnp.any(match & alive[None, :], axis=-1)
