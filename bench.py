@@ -366,9 +366,12 @@ def main() -> None:
             bail 20) — with elite exchange every 2 rounds.  The dense
             argmin block is the throughput champion but diffuses poorly on
             the soft plateau; the random-window noisy descent crosses it,
-            and 64 lockstep lanes run it at a multiple of the baseline's
+            and the lockstep lanes run it at a multiple of the baseline's
             iteration rate.  Medians beat the baseline at every budget:
-            (0,9)/(0,8)/(0,7) vs (0,10)/(0,9)/(0,8) at 2.3/10/60 s."""
+            (0,9)/(0,8)/(0,7) at P=64, (0,8-9)/(0,7-8)/(0,7) at P=128,
+            vs baseline (0,10)/(0,9)/(0,8) at 2.3/10/60 s.  P=128 is safe
+            for THIS small program (the dense 365d program hangs the
+            worker's compiler at P>=128 — BENCH_NOTES round 4)."""
             q_problem = make_scheduling_problem(
                 spec, proposer="random", window_size=100
             )
@@ -385,6 +388,10 @@ def main() -> None:
                                     exchange_every=2)
 
         s_days, s_emps, s_pop = 365, 20, int(os.environ.get("BENCH_SPOP", 64))
+        # Quality-race population: the random-window program is ~40x
+        # smaller than the dense block, so P=128 compiles and runs fine
+        # (and wins bigger + rounds 2x faster than P=256 — BENCH_NOTES r4).
+        q_pop = int(os.environ.get("BENCH_QPOP", 128))
         sched_baseline = measure_scheduling_baseline(s_days, s_emps)
         log(f"reference-style scheduling baseline: {sched_baseline:.0f} moves/s")
         d0 = datetime.date(2024, 1, 1)
@@ -451,12 +458,12 @@ def main() -> None:
             # descents + compound slot early, wide unrestricted swaps late
             # — the round-3/4 measured complementary winners, see
             # make_sched_quality_solver above and BENCH_NOTES.md round 4).
-            warm = make_sched_quality_solver(spec, "warm", s_pop)
+            warm = make_sched_quality_solver(spec, "warm", q_pop)
             warm.run(max_rounds=1, chunk=1)  # fine-probe program shape
             warm.run(max_rounds=2, chunk=2)
             st_med, st_worst = tpu_quality(
                 lambda rep: make_sched_quality_solver(spec, f"bench{rep}",
-                                                      s_pop),
+                                                      q_pop),
                 BUDGETS, 2, REPEATS,
             )
             ok = all(t <= b for t, b in zip(st_med, sb_med))
