@@ -125,7 +125,22 @@ class SolverService:
             k: v for k, v in params.items()
             if k not in ("window_size", "proposer")
         }
-        solver = Solver(problem, SolverConfig(**config_kwargs))
+        # Beyond the wasm contract: "population" > 1 solves with P parallel
+        # trajectories + elite exchange (same round-based API).  Pair with
+        # proposer="random" for the measured quality-at-wall winner
+        # (BENCH_NOTES.md round 4).
+        population = int(payload.get("population", 1))
+        if population > 1:
+            from constraint_solver_tpu.parallel.population import (
+                PopulationSolver,
+            )
+
+            solver = PopulationSolver(
+                problem, SolverConfig(**config_kwargs),
+                population=population, exchange_every=2,
+            )
+        else:
+            solver = Solver(problem, SolverConfig(**config_kwargs))
         return {"solver": solver, "start": start, "employees": employees}
 
     def _create_nqueens(self, payload: dict) -> dict:

@@ -40,6 +40,25 @@ def scheduling_cli(seed: str = "42") -> SolverConfig:
     )
 
 
+def scheduling_quality(seed: str = "42") -> SolverConfig:
+    """The measured quality-at-wall production configuration (round-4
+    sweeps, BENCH_NOTES.md): the reference CLI engine constants with the
+    bench-measured archive/ring capacities, meant to drive a
+    ``PopulationSolver`` over ``make_scheduling_problem(spec,
+    proposer="random", window_size=100)`` with ``exchange_every=2`` and
+    population 64-128.  Beats the complete single-thread reference
+    algorithm's best score at every measured wall budget."""
+    return SolverConfig(
+        seed=seed,
+        local_search_max_iterations=1_000,
+        best_solutions_capacity=16,
+        all_solutions_capacity=256,
+        all_solution_iteration_expiry=1_000,
+        iterated_local_search_max_iterations=100_000,
+        max_allow_no_improvement_for=20,
+    )
+
+
 def ackley_test(seed: str = "0") -> SolverConfig:
     """reference local-search/src/iterated_local_search.rs:222-256 (the ILS
     convergence tests; min/max move sizes 1e-3/0.5 go to

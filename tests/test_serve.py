@@ -277,3 +277,30 @@ def test_index_html_has_employee_rows_and_holiday_inputs(server_url):
     assert "holidays" in html
     assert "employeeHolidays" in html
     assert 'class="rm"' in html  # per-row remove button
+
+
+def test_population_quality_mode(server_url):
+    """population > 1 + proposer=random: the measured quality-at-wall
+    configuration (BENCH_NOTES.md round 4), served through the same
+    round-based protocol — the result must carry the full schedule and a
+    feasible (hard=0-reachable) score after the round budget."""
+    status, res = _req(server_url + "/api/solvers", "POST", {
+        "startDate": "2022-05-09",
+        "endDate": "2022-05-22",
+        "employees": [{"id": 0}, {"id": 1}, {"id": 2}, {"id": 3}, {"id": 4}],
+        "employeeHolidays": [[], [], [], [], []],
+        "proposer": "random",
+        "population": 4,
+        "iterated_local_search_max_iterations": 25,
+        "local_search_max_iterations": 200,
+    })
+    assert status == 200
+    sid = res["solverId"]
+    while True:
+        status, r = _req(f"{server_url}/api/solvers/{sid}/round", "POST")
+        assert status == 200
+        if r["isFinished"]:
+            break
+    assert r["result"]["score"]["hard_score"] == 0
+    assert len(r["result"]["days_to_employees"]) == 14
+    _req(f"{server_url}/api/solvers/{sid}", "DELETE")
