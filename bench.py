@@ -148,8 +148,16 @@ PROBE_FINE_ROUNDS = 16
 def tpu_best_at_walls(make_solver, budgets: list[float], chunk: int) -> list:
     """Run a fresh solver, probing the global best after every chunk (every
     ROUND before PROBE_FINE_ROUNDS); record the best score as each wall
-    budget passes.  Probes transfer 8 bytes.  Assumes programs are already
-    compiled (warm-up done by the caller)."""
+    budget passes.
+
+    Dispatches the chunk program DIRECTLY (one ~30 ms tunnel round-trip
+    per probe) instead of going through ``solver.run`` — the driver loop's
+    entry/exit bookkeeping (round-count probe, convergence check,
+    is_finished) adds ~3 more RTTs per fine-probed round, which at the
+    2.3 s budget cost the TPU side ~half its executed rounds (measured:
+    (0,10) medians via run() vs (0,8) via direct dispatch on the same
+    config — bench/sched_p128.py vs the first r4 official run).  Assumes
+    programs are already compiled (warm-up done by the caller)."""
     solver = make_solver()
     out: list = []
     bi = 0
@@ -157,15 +165,15 @@ def tpu_best_at_walls(make_solver, budgets: list[float], chunk: int) -> list:
     t0 = time.time()
     while bi < len(budgets):
         n = 1 if rounds < PROBE_FINE_ROUNDS else chunk
-        solver.run(max_rounds=n, chunk=n)
+        solver.state = solver._chunk_jit(solver.state, n)
         rounds += n
         best = solver.get_best_score()
         el = time.time() - t0
         while bi < len(budgets) and el >= budgets[bi]:
             out.append(best)
             bi += 1
-        if solver.is_finished() or best == (0.0, 0.0):
-            while bi < len(budgets):  # solved/finished: best can't regress
+        if best == (0.0, 0.0):
+            while bi < len(budgets):  # solved: best can't regress
                 out.append(best)
                 bi += 1
     return out
