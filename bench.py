@@ -375,11 +375,17 @@ def main() -> None:
             argmin block is the throughput champion but diffuses poorly on
             the soft plateau; the random-window noisy descent crosses it,
             and the lockstep lanes run it at a multiple of the baseline's
-            iteration rate.  Medians beat the baseline at every budget:
-            (0,9)/(0,8)/(0,7) at P=64, (0,8-9)/(0,7-8)/(0,7) at P=128,
-            vs baseline (0,10)/(0,9)/(0,8) at 2.3/10/60 s.  P=128 is safe
-            for THIS small program (the dense 365d program hangs the
-            worker's compiler at P>=128 — BENCH_NOTES round 4)."""
+            iteration rate — plus rank-based CULLING: each exchange, the
+            worst 25% of lanes restart from their (post-exchange) archive
+            best, concentrating lanes on the best basins.  Sweep medians
+            (bench/sched_quality_r4c.py, P=128): culling reaches (0,7) by
+            0.4-2.3 s and holds (0,7)/(0,7)/(0,7) across all three
+            budgets — 2-4 soft points ahead of the baseline's
+            (0,10-11)/(0,9)/(0,8) — where base is (0,8)/(0,8)/(0,7).
+            Score integrity is independently verified (recorded best ==
+            full rescore of the returned state).  P=128 is safe for THIS
+            small program (the dense 365d program hangs the worker's
+            compiler at P>=128 — BENCH_NOTES round 4)."""
             q_problem = make_scheduling_problem(
                 spec, proposer="random", window_size=100
             )
@@ -393,7 +399,7 @@ def main() -> None:
                 max_allow_no_improvement_for=20,
             )
             return PopulationSolver(q_problem, q_cfg, population=pop,
-                                    exchange_every=2)
+                                    exchange_every=2, cull_frac=0.25)
 
         s_days, s_emps, s_pop = 365, 20, int(os.environ.get("BENCH_SPOP", 64))
         # Quality-race population: the random-window program is ~40x

@@ -45,9 +45,11 @@ def scheduling_quality(seed: str = "42") -> SolverConfig:
     sweeps, BENCH_NOTES.md): the reference CLI engine constants with the
     bench-measured archive/ring capacities, meant to drive a
     ``PopulationSolver`` over ``make_scheduling_problem(spec,
-    proposer="random", window_size=100)`` with ``exchange_every=2`` and
-    population 64-128.  Beats the complete single-thread reference
-    algorithm's best score at every measured wall budget."""
+    proposer="random", window_size=100)`` with ``exchange_every=2``,
+    ``cull_frac=0.25`` and population 64-128.  Beats the complete
+    single-thread reference algorithm's best score at every measured wall
+    budget by 2-4 soft points (median (0,7) at 2.3/10/60 s on 365d x 20e
+    vs the baseline's (0,10-11)/(0,9)/(0,8) — BENCH_NOTES.md round 4)."""
     return SolverConfig(
         seed=seed,
         local_search_max_iterations=1_000,
