@@ -414,10 +414,12 @@ def main() -> None:
             {e: [d0 + datetime.timedelta(days=(17 * e + 11 * k) % s_days)
                  for k in range(10)] for e in range(s_emps)},
         )
-        # n_rand_swaps=256: the measured quality knob (bench/sched_quality_
-        # sweep.py) — the late soft phase needs close-pair swaps the >=14-day
-        # diagonals cannot express; 256 matches the C++ baseline's 60 s
-        # quality (0, 8) where the default 64 plateaus at (0, 9).
+        # n_rand_swaps=256 widens the unrestricted-swap section of the
+        # dense block (close-pair swaps the >= 14-day diagonals cannot
+        # express).  NOTE: this dense run is the THROUGHPUT measurement
+        # only — the round-4 sweeps showed the quality-at-wall race is won
+        # by the random-window population mode below, not by any dense
+        # configuration (BENCH_NOTES.md round 4).
         sched_p = make_scheduling_problem(
             spec, proposer="dense",
             n_rand_swaps=int(os.environ.get("BENCH_RAND_SWAPS", 256)),
@@ -468,10 +470,10 @@ def main() -> None:
             sb_med, sb_worst = base_sched
             log(f"baseline scheduling best-at-wall median={sb_med} "
                 f"worst={sb_worst}")
-            # The quality race runs the PHASED production mode (deep
-            # descents + compound slot early, wide unrestricted swaps late
-            # — the round-3/4 measured complementary winners, see
-            # make_sched_quality_solver above and BENCH_NOTES.md round 4).
+            # The quality race runs the production quality mode: the
+            # reference-shaped random-window population with elite
+            # exchange + culling (see make_sched_quality_solver above and
+            # BENCH_NOTES.md round 4).
             warm = make_sched_quality_solver(spec, "warm", q_pop)
             warm.run(max_rounds=1, chunk=1)  # fine-probe program shape
             warm.run(max_rounds=2, chunk=2)
