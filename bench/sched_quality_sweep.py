@@ -44,7 +44,7 @@ CONFIGS = {
     # (The compound-move slot configs that lived here were retired in
     # round 4: the A/B measured equal quality medians at every wall budget
     # and the knob was deleted — BENCH_NOTES.md round 4.)
-    "comp13_s512": (64, 2, 200, 20, 512, 13),
+    "swaps512": (64, 2, 200, 20, 512),
 }
 
 

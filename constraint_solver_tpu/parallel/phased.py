@@ -121,10 +121,21 @@ class PhasedPopulationSolver:
     # -- driver API (mirrors PopulationSolver) -----------------------------
 
     def execute_round(self) -> None:
-        a = self._active
+        r0 = self._round_count()
+        pi = self._phase_index(r0)
+        a = self._solvers[pi]
         a.state = self.state
         a.execute_round()
         self.state = a.state
+        if self._phase_index(r0 + 1) != pi:
+            # Phase boundary crossed via per-tick stepping: bank the
+            # completed phase's moves at ITS width, exactly as run() does —
+            # otherwise stats() would price every unbanked earlier-phase
+            # iteration at the current phase's width (ADVICE.md round 4).
+            it = self._iters()
+            self._moves_done += (it - self._iters_at_entry) * \
+                self.phases[pi].problem.width
+            self._iters_at_entry = it
 
     def is_finished(self) -> bool:
         total = self.phases[-1].config.iterated_local_search_max_iterations
@@ -190,7 +201,10 @@ class PhasedPopulationSolver:
             if checkpoint_path and rounds - last_ckpt >= checkpoint_every:
                 self.save(checkpoint_path)
                 last_ckpt = rounds
-            if bool(self.phases[0].problem.is_best(score)):
+            # Solved-early exit judged by the ACTIVE phase's problem (phases
+            # may differ in is_best semantics — ADVICE.md round 4).
+            if bool(self.phases[self._phase_index(rounds)].problem
+                    .is_best(score)):
                 break
         self._wall += time.time() - t0
         if checkpoint_path:

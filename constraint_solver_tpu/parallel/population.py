@@ -153,10 +153,34 @@ def exchange_elites(
     return states
 
 
+def _gated_exchange(st: IlsState, n: int, k_exchange: int, cull_frac: float,
+                    exchange_every: int, axis: str | None = None) -> IlsState:
+    """End-of-chunk elite exchange, gated on the ROUND counter so the
+    exchange cadence is a property of the solver configuration, not of how
+    the host happens to chunk its dispatches: ``_chunk_jit(st, 1)`` stepped
+    N times is trajectory-identical to ``_chunk_jit(st, N)`` (tested in
+    tests/test_population.py).  Before round 4's advisor review, the
+    exchange ran unconditionally at every chunk boundary, so per-round
+    stepping (the serve layer, the fine-probe quality harness) silently
+    exchanged every round regardless of ``exchange_every`` (ADVICE.md r4)."""
+    if k_exchange <= 0:
+        return st
+    if exchange_every <= 1:
+        return exchange_elites(st, k_exchange, cull_frac, axis=axis)
+    # st.round has already advanced by n; lanes are lockstep (round[0] is
+    # every lane's counter).
+    return jax.lax.cond(
+        (st.round[0] % exchange_every) == 0,
+        lambda s: exchange_elites(s, k_exchange, cull_frac, axis=axis),
+        lambda s: s,
+        st,
+    )
+
+
 @lru_cache(maxsize=64)
 def _population_programs(
     problem: Problem, ls_params, ils_params, k_exchange: int,
-    cull_frac: float, mesh,
+    cull_frac: float, exchange_every: int, mesh,
 ):
     """Jitted population programs, shared across solver instances.
 
@@ -183,10 +207,39 @@ def _population_programs(
         # k_exchange=0 disables cross-lane exchange entirely (isolated
         # trajectories; also the exchange-cost ablation in
         # bench/sched_round_overhead.py — indexing the size-0 top-k would
-        # fail at trace time otherwise).
-        if k_exchange > 0:
-            st = exchange_elites(st, k_exchange, cull_frac)
-        return st
+        # fail at trace time otherwise).  Otherwise the exchange fires on
+        # the exchange_every ROUND cadence, independent of chunking.
+        return _gated_exchange(st, n, k_exchange, cull_frac, exchange_every)
+
+    def best_score_of(st: IlsState):
+        scores, _, _ = jax.vmap(lambda e: e.get_best())(st.elite)
+        return scores[lex_argmin(scores)]
+
+    def run_chunk_traced(st: IlsState, n: int):
+        """Like ``run_chunk`` but also returns a float32[n, 3] per-round
+        trace of (round, best-hard, best-soft) read from the elite archives
+        ON DEVICE after every round.  The host reads the trace once per
+        chunk and timestamps the chunk boundary; per-round wall times are
+        interpolated between boundaries — eliminating the probe-lag
+        asymmetry of host-side best probes (quality-at-wall used to see
+        only the best at the LAST chunk boundary before each budget;
+        BENCH_NOTES.md "Quality-probe methodology").  The solver state
+        trajectory is bit-identical to ``run_chunk`` (the trace reduction
+        consumes no PRNG and writes nothing back; tested)."""
+        base = st.round[0]
+
+        def body(i, carry):
+            s, tr = carry
+            s = round_at(s, base + 1 + i)
+            row = jnp.concatenate(
+                [(base + 1 + i).astype(jnp.float32)[None], best_score_of(s)]
+            )
+            return s, jax.lax.dynamic_update_slice(tr, row[None, :], (i, 0))
+
+        st, trace = jax.lax.fori_loop(
+            0, n, body, (st, jnp.zeros((n, 3), jnp.float32))
+        )
+        return _gated_exchange(st, n, k_exchange, cull_frac, exchange_every), trace
 
     # Host-read paths produce small REPLICATED outputs so they stay
     # addressable on every process under a multi-host global mesh.
@@ -195,9 +248,7 @@ def _population_programs(
     def jit_rep(f):
         return jax.jit(f, out_shardings=rep) if rep is not None else jax.jit(f)
 
-    def best_score(st: IlsState):
-        scores, _, _ = jax.vmap(lambda e: e.get_best())(st.elite)
-        return scores[lex_argmin(scores)]
+    best_score = best_score_of
 
     def global_best(st: IlsState):
         scores, _, bests = jax.vmap(lambda e: e.get_best())(st.elite)
@@ -207,6 +258,7 @@ def _population_programs(
     return SimpleNamespace(
         round=jax.jit(round_fn),
         chunk=jax.jit(run_chunk, static_argnums=1),
+        chunk_traced=jax.jit(run_chunk_traced, static_argnums=1),
         best_score=jit_rep(best_score),
         global_best=jit_rep(global_best),
         # Cheap convergence probe: transfers 8 bytes, not the elite arrays.
@@ -301,10 +353,11 @@ class PopulationSolver:
 
         progs = _population_programs(
             problem, config.ls_params(problem.width), config.ils_params(),
-            k_exchange, cull_frac, mesh,
+            k_exchange, cull_frac, exchange_every, mesh,
         )
         self._round_jit = progs.round
         self._chunk_jit = progs.chunk
+        self._chunk_traced_jit = progs.chunk_traced
         self._best_score_jit = progs.best_score
         self._global_best_jit = progs.global_best
         self._probe_jit = progs.probe
@@ -312,7 +365,25 @@ class PopulationSolver:
     # -- driver API (mirrors core.ils.Solver) ----------------------------
 
     def execute_round(self) -> None:
-        self.state = self._round_jit(self.state)
+        # A 1-round chunk, NOT the bare vmapped round: the chunk program
+        # carries the round-gated elite exchange, so per-tick stepping (the
+        # serve layer's round endpoint) exchanges on the exchange_every
+        # cadence exactly like run() — ADVICE.md round 4, finding 1.
+        self.state = self._chunk_jit(self.state, 1)
+
+    def execute_chunk_traced(self, n: int) -> np.ndarray:
+        """Advance ``n`` rounds and return the on-device per-round best
+        trace as a host float32[n, 3] array of (round, best-hard,
+        best-soft) — the probe-free quality-at-wall instrument (reading
+        the trace forces the chunk to complete, so the return doubles as
+        the host sync point)."""
+        if getattr(self, "_chunk_traced_jit", None) is None:
+            raise NotImplementedError(
+                "per-round best tracing is not wired for this solver's "
+                "sharded chunk program; use get_best_score per chunk"
+            )
+        self.state, trace = self._chunk_traced_jit(self.state, n)
+        return np.asarray(trace)
 
     def _round_count(self) -> int:
         return int(np.asarray(self._probe_jit(self.state)[0]))

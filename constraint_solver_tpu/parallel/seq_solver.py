@@ -61,7 +61,7 @@ from constraint_solver_tpu.ops.fingerprint import fingerprint_i32, fp_update
 from constraint_solver_tpu.ops.lex import lex_argmin, make_score
 from constraint_solver_tpu.parallel.population import (
     PopulationSolver,
-    exchange_elites,
+    _gated_exchange,
     portfolio_temps,
 )
 from constraint_solver_tpu.utils.seeding import seed_string_to_key
@@ -400,7 +400,8 @@ def seq_pop_state_specs(pop_axis: str | None, seq_axis: str) -> IlsState:
 @lru_cache(maxsize=64)
 def _seq_programs(
     problem: Problem, config: SolverConfig, k_exchange: int, cull_frac: float,
-    mesh, pop_axis: str | None, seq_axis: str, population: int,
+    exchange_every: int, mesh, pop_axis: str | None, seq_axis: str,
+    population: int,
 ):
     """Jitted pop x seq programs, shared across solver instances (the same
     no-recompile contract as parallel/population.py's program caches).
@@ -446,7 +447,9 @@ def _seq_programs(
     def chunk(st: IlsState, n: int) -> IlsState:
         st = step(st, n)
         if k_exchange > 0 and population > 1:
-            st = exchange_elites(st, k_exchange, cull_frac)
+            # Round-gated exchange cadence (population._gated_exchange):
+            # chunk-size independent, matches the dense PopulationSolver.
+            st = _gated_exchange(st, n, k_exchange, cull_frac, exchange_every)
         return st
 
     def init_body(keys, temps):
@@ -534,8 +537,8 @@ class SeqShardedSolver(PopulationSolver):
             )
         self.problem = make_seq_scheduling_problem(spec, mesh, axis, window_size)
         progs = _seq_programs(
-            self.problem, config, k_exchange, cull_frac, mesh, pop_axis,
-            axis, population,
+            self.problem, config, k_exchange, cull_frac, exchange_every,
+            mesh, pop_axis, axis, population,
         )
         self._shardings = specs_to_shardings(
             seq_pop_state_specs(pop_axis, axis), mesh

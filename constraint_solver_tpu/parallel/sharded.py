@@ -37,14 +37,14 @@ from constraint_solver_tpu.core.ils import IlsState, SolverConfig, ils_round
 from constraint_solver_tpu.core.problem import Problem
 from constraint_solver_tpu.parallel.population import (
     PopulationSolver,
-    exchange_elites,
+    _gated_exchange,
 )
 
 
 @lru_cache(maxsize=64)
 def _sharded_chunk_program(
     problem: Problem, ls_params, ils_params, k_exchange: int,
-    cull_frac: float, mesh,
+    cull_frac: float, exchange_every: int, mesh,
 ):
     """Jitted sharded-chunk program, shared across solver instances (same
     no-recompile contract as parallel/population.py's program caches):
@@ -62,9 +62,12 @@ def _sharded_chunk_program(
         st = jax.lax.fori_loop(
             0, n, lambda i, s: round_at(s, base + 1 + i), st
         )
-        if k_exchange > 0:
-            st = exchange_elites(st, k_exchange, cull_frac, axis="pop")
-        return st
+        # Round-gated exchange (see population._gated_exchange): the
+        # cond predicate is the lockstep round counter, equal on every
+        # shard, so the collective-bearing branch executes uniformly.
+        return _gated_exchange(
+            st, n, k_exchange, cull_frac, exchange_every, axis="pop"
+        )
 
     def run_chunk(st: IlsState, n: int) -> IlsState:
         return jax.shard_map(
@@ -114,22 +117,18 @@ class ShardedPopulationSolver(PopulationSolver):
         )
         # Replace the 1D chunk program with the explicit-collective one;
         # every other jitted program (probe, best_score, global_best, init)
-        # is sharding-agnostic and inherited as-is.
+        # is sharding-agnostic and inherited as-is.  The inherited 1D
+        # traced-chunk program cannot bind the ``nbr`` collective; disable
+        # it rather than let it mis-trace.
         self._chunk_jit = _sharded_chunk_program(
             problem, config.ls_params(problem.width), config.ils_params(),
-            k_exchange, cull_frac, mesh,
+            k_exchange, cull_frac, exchange_every, mesh,
         )
-        # Per-tick stepping must match the parent's cadence (exchange only
-        # once per exchange_every-round chunk, never on execute_round), so
-        # the step program is the same sharded body with the exchange off.
-        self._step_jit = _sharded_chunk_program(
-            problem, config.ls_params(problem.width), config.ils_params(),
-            0, 0.0, mesh,
-        )
+        self._chunk_traced_jit = None
 
     def execute_round(self) -> None:
         # The inherited single-round program can't bind the ``nbr``
-        # collective outside shard_map; a 1-round exchange-free chunk is
-        # the per-tick step here (same semantics as the parent class:
-        # elites only exchange in run()'s periodic chunks).
-        self.state = self._step_jit(self.state, 1)
+        # collective outside shard_map; a 1-round chunk is the per-tick
+        # step (the chunk program's exchange is round-gated, so stepping
+        # keeps the exchange_every cadence exactly like run()).
+        self.state = self._chunk_jit(self.state, 1)

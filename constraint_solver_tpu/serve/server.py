@@ -126,10 +126,26 @@ class SolverService:
             if k not in ("window_size", "proposer")
         }
         # Beyond the wasm contract: "population" > 1 solves with P parallel
-        # trajectories + elite exchange (same round-based API).  Pair with
-        # proposer="random" for the measured quality-at-wall winner
-        # (BENCH_NOTES.md round 4).
-        population = int(payload.get("population", 1))
+        # trajectories + elite exchange every 2 rounds (same round-based
+        # API; execute_round steps a round-gated chunk, so the cadence is
+        # live under per-tick stepping).  Pair with proposer="random" for
+        # the measured quality-at-wall winner (BENCH_NOTES.md round 4).
+        # Bounds are the measured axon-worker compile-size limits
+        # (docs/DESIGN.md): population >= 512 crashed the worker on
+        # nqueens, and the dense scheduling proposer hung the compiler at
+        # P >= 128 — a too-large payload could wedge the shared chip for
+        # ~25-45 min, so it is rejected, not attempted.
+        try:
+            population = int(payload.get("population", 1))
+        except (TypeError, ValueError):
+            raise ValueError("population must be an integer")
+        if not 1 <= population <= 256:
+            raise ValueError("population out of range (1..256)")
+        if params["proposer"] == "dense" and population > 64:
+            raise ValueError(
+                "population > 64 with the dense proposer exceeds the "
+                "compile-size budget; use proposer='random' or P <= 64"
+            )
         if population > 1:
             from constraint_solver_tpu.parallel.population import (
                 PopulationSolver,

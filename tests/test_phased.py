@@ -154,3 +154,32 @@ def test_phase_validation():
              Phase(p, _cfg())],
             population=2,
         )
+
+
+def test_execute_round_banks_moves_at_phase_boundary():
+    """Driving the solver purely via execute_round() across a phase
+    boundary must account moves exactly like run(chunk=1): completed-phase
+    iterations priced at THAT phase's width (ADVICE r4, finding 4)."""
+    spec = _spec()
+    pa = make_scheduling_problem(spec, proposer="dense", n_rand_swaps=4)
+    pb = make_scheduling_problem(spec, proposer="dense", n_rand_swaps=16)
+
+    def make():
+        return PhasedPopulationSolver(
+            [Phase(pa, _cfg(ls=20, rounds=8), until_round=3),
+             Phase(pb, _cfg(ls=20, rounds=8))],
+            population=4, exchange_every=2,
+        )
+
+    stepped = make()
+    for _ in range(6):
+        stepped.execute_round()
+    chunked = make()
+    chunked.run(max_rounds=6, chunk=1)
+    ss, sc = stepped.stats(), chunked.stats()
+    assert ss["rounds"] == sc["rounds"] == 6
+    assert ss["ls_iterations"] == sc["ls_iterations"]
+    assert ss["moves_evaluated"] == sc["moves_evaluated"]
+    # And the banked split really uses both widths (not all one width).
+    assert ss["moves_evaluated"] != ss["ls_iterations"] * pa.width
+    assert ss["moves_evaluated"] != ss["ls_iterations"] * pb.width

@@ -128,3 +128,62 @@ def test_reseed_from_elites():
     for lane in range(4):
         lane_fps = {tuple(f) for f, v in zip(elite_fps[lane], valid[lane]) if v}
         assert tuple(cur[lane]) in lane_fps
+
+
+def _tree_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            x, y = jax.random.key_data(x), jax.random.key_data(y)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_chunk_size_independent_trajectories():
+    """The elite exchange is gated on the ROUND counter (ADVICE r4): as
+    long as the host chunk size divides exchange_every, the trajectory is
+    identical however the dispatches are sliced — 8x1 == 2x4 == 4+4 with
+    exchange_every=4.  Per-tick stepping (execute_round) therefore runs the
+    production cadence, which is what the serve layer advertises."""
+    problem = make_nqueens_problem(12)
+    cfg = _config(rounds=100)
+
+    def make():
+        return PopulationSolver(
+            problem, cfg, population=8, exchange_every=4, cull_frac=0.25
+        )
+
+    by_ones = make()
+    for _ in range(8):
+        by_ones.execute_round()
+    by_fours = make()
+    by_fours.state = by_fours._chunk_jit(by_fours.state, 4)
+    by_fours.state = by_fours._chunk_jit(by_fours.state, 4)
+    by_twos = make()
+    for _ in range(4):
+        by_twos.state = by_twos._chunk_jit(by_twos.state, 2)
+    _tree_equal(by_ones.state, by_fours.state)
+    _tree_equal(by_twos.state, by_fours.state)
+
+
+def test_chunk_traced_matches_chunk_and_is_monotone():
+    """The traced chunk program (VERDICT r4 directive 5) must leave the
+    solver state bit-identical to the untraced program, and its per-round
+    (round, best-hard, best-soft) rows must be the monotone elite-best
+    series ending at the post-chunk global best."""
+    problem = make_nqueens_problem(10)
+    cfg = _config(rounds=100)
+    a = PopulationSolver(problem, cfg, population=8, exchange_every=2)
+    b = PopulationSolver(problem, cfg, population=8, exchange_every=2)
+    trace = b.execute_chunk_traced(6)
+    a.state = a._chunk_jit(a.state, 6)
+    _tree_equal(a.state, b.state)
+    assert trace.shape == (6, 3)
+    np.testing.assert_array_equal(trace[:, 0], np.arange(1, 7))
+    pairs = [tuple(r) for r in trace[:, 1:]]
+    assert all(pairs[i] >= pairs[i + 1] for i in range(len(pairs) - 1)), pairs
+    # Exchange/cull never changes the global archive best, so the last
+    # trace row == the post-chunk best.
+    assert tuple(trace[-1, 1:]) == b.get_best_score()
+    # A second traced chunk continues the round numbering.
+    trace2 = b.execute_chunk_traced(3)
+    np.testing.assert_array_equal(trace2[:, 0], np.arange(7, 10))
+    assert tuple(trace2[0, 1:]) <= tuple(trace[-1, 1:])

@@ -304,3 +304,22 @@ def test_population_quality_mode(server_url):
     assert r["result"]["score"]["hard_score"] == 0
     assert len(r["result"]["days_to_employees"]) == 14
     _req(f"{server_url}/api/solvers/{sid}", "DELETE")
+
+
+def test_population_bounds_rejected(server_url):
+    """Compile-size guard (ADVICE r4): out-of-range / non-numeric
+    population and dense-proposer populations over the measured worker
+    limit are rejected with 400, never attempted."""
+    base = {
+        "startDate": "2022-05-09",
+        "endDate": "2022-05-15",
+        "employees": [{"id": 0}, {"id": 1}],
+        "employeeHolidays": [[], []],
+    }
+    for bad in ({"population": 500}, {"population": 0},
+                {"population": "lots"},
+                {"population": 128, "proposer": "dense"}):
+        status, res = _req(server_url + "/api/solvers", "POST",
+                           {**base, **bad})
+        assert status == 400, (bad, res)
+        assert "error" in res

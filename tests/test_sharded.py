@@ -51,8 +51,11 @@ def test_sharded_elite_exchange_on_vs_off():
         24, sample_cols=4, nbr_axis="nbr", nbr_shards=2, nbr_keep=16
     )
 
+    # exchange_every=5 so the round-gated exchange fires at the first chunk
+    # boundary even if the run converges (and breaks) right there.
     on = ShardedPopulationSolver(
-        problem, _config(), population=8, mesh=mesh, k_exchange=4
+        problem, _config(), population=8, mesh=mesh, k_exchange=4,
+        exchange_every=5,
     )
     on.run(max_rounds=10, chunk=5)
     bests_on = _lane_bests(on)
