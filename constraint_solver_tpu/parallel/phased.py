@@ -64,7 +64,7 @@ class PhasedPopulationSolver:
     def __init__(self, phases: list[Phase], population: int,
                  exchange_every: int = 10, k_exchange: int = 4,
                  mesh=None, portfolio: str = "reference",
-                 cull_frac: float = 0.0):
+                 cull_frac: float = 0.0, cull_rank: str = "lex"):
         if not phases:
             raise ValueError("need at least one phase")
         caps = [(p.config.best_solutions_capacity,
@@ -89,7 +89,8 @@ class PhasedPopulationSolver:
             PopulationSolver(p.problem, p.config, population,
                              exchange_every=exchange_every,
                              k_exchange=k_exchange, mesh=mesh,
-                             portfolio=portfolio, cull_frac=cull_frac)
+                             portfolio=portfolio, cull_frac=cull_frac,
+                             cull_rank=cull_rank)
             for p in phases]
         # All phases run on phase 0's initial state.
         self.state = self._solvers[0].state

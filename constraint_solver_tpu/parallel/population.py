@@ -80,6 +80,7 @@ def exchange_elites(
     k_exchange: int,
     cull_frac: float = 0.0,
     axis: str | None = None,
+    cull_rank: str = "lex",
 ) -> IlsState:
     """Insert the global top-k elite solutions into every lane's archive;
     optionally CULL the worst ``cull_frac`` of lanes by resetting their
@@ -116,18 +117,32 @@ def exchange_elites(
 
     if cull_frac > 0.0:
         p_local = states.current_score.shape[0]
-        cur_hard = states.current_score[:, 0]
+        cur = states.current_score  # [P, 2]
         if axis is not None:
-            # Global ranks: every shard ranks the gathered hard scores
+            # Global ranks: every shard ranks the gathered scores
             # identically, then slices out its own lanes' ranks.
-            g_hard = jax.lax.all_gather(cur_hard, axis, axis=0, tiled=True)
-            p = g_hard.shape[0]
-            ranks = jnp.argsort(jnp.argsort(g_hard))
+            g_cur = jax.lax.all_gather(cur, axis, axis=0, tiled=True)
+        else:
+            g_cur = cur
+        p = g_cur.shape[0]
+        if cull_rank == "lex":
+            # Rank by (hard, soft) lexicographically.  Ranking by hard
+            # alone degenerates once every lane reaches hard=0 (the soft
+            # plateau the quality race lives on): all lanes tie and the
+            # stable rank falls back to lane-index order, so the SAME
+            # fixed cull_frac of lanes is recycled every exchange
+            # regardless of soft score (VERDICT r4 weak item 2 /
+            # directive 2).  jnp.lexsort: last key is primary.
+            order = jnp.lexsort((g_cur[:, 1], g_cur[:, 0]))
+        else:
+            assert cull_rank == "hard", cull_rank
+            order = jnp.argsort(g_cur[:, 0], stable=True)
+        ranks = jnp.argsort(order)
+        if axis is not None:
             shard = jax.lax.axis_index(axis)
             rank = jax.lax.dynamic_slice(ranks, (shard * p_local,), (p_local,))
         else:
-            p = p_local
-            rank = jnp.argsort(jnp.argsort(cur_hard))
+            rank = ranks
         n_cull = int(p * cull_frac)
         if n_cull > 0:
             # Worst lanes by current hard score restart from their archive
@@ -154,7 +169,8 @@ def exchange_elites(
 
 
 def _gated_exchange(st: IlsState, n: int, k_exchange: int, cull_frac: float,
-                    exchange_every: int, axis: str | None = None) -> IlsState:
+                    exchange_every: int, axis: str | None = None,
+                    cull_rank: str = "lex") -> IlsState:
     """End-of-chunk elite exchange, gated on the ROUND counter so the
     exchange cadence is a property of the solver configuration, not of how
     the host happens to chunk its dispatches: ``_chunk_jit(st, 1)`` stepped
@@ -165,22 +181,21 @@ def _gated_exchange(st: IlsState, n: int, k_exchange: int, cull_frac: float,
     exchanged every round regardless of ``exchange_every`` (ADVICE.md r4)."""
     if k_exchange <= 0:
         return st
+    ex = lambda s: exchange_elites(s, k_exchange, cull_frac, axis=axis,
+                                   cull_rank=cull_rank)
     if exchange_every <= 1:
-        return exchange_elites(st, k_exchange, cull_frac, axis=axis)
+        return ex(st)
     # st.round has already advanced by n; lanes are lockstep (round[0] is
     # every lane's counter).
     return jax.lax.cond(
-        (st.round[0] % exchange_every) == 0,
-        lambda s: exchange_elites(s, k_exchange, cull_frac, axis=axis),
-        lambda s: s,
-        st,
+        (st.round[0] % exchange_every) == 0, ex, lambda s: s, st,
     )
 
 
 @lru_cache(maxsize=64)
 def _population_programs(
     problem: Problem, ls_params, ils_params, k_exchange: int,
-    cull_frac: float, exchange_every: int, mesh,
+    cull_frac: float, exchange_every: int, cull_rank: str, mesh,
 ):
     """Jitted population programs, shared across solver instances.
 
@@ -209,7 +224,8 @@ def _population_programs(
         # bench/sched_round_overhead.py — indexing the size-0 top-k would
         # fail at trace time otherwise).  Otherwise the exchange fires on
         # the exchange_every ROUND cadence, independent of chunking.
-        return _gated_exchange(st, n, k_exchange, cull_frac, exchange_every)
+        return _gated_exchange(st, n, k_exchange, cull_frac, exchange_every,
+                               cull_rank=cull_rank)
 
     def best_score_of(st: IlsState):
         scores, _, _ = jax.vmap(lambda e: e.get_best())(st.elite)
@@ -239,7 +255,9 @@ def _population_programs(
         st, trace = jax.lax.fori_loop(
             0, n, body, (st, jnp.zeros((n, 3), jnp.float32))
         )
-        return _gated_exchange(st, n, k_exchange, cull_frac, exchange_every), trace
+        st = _gated_exchange(st, n, k_exchange, cull_frac, exchange_every,
+                             cull_rank=cull_rank)
+        return st, trace
 
     # Host-read paths produce small REPLICATED outputs so they stay
     # addressable on every process under a multi-host global mesh.
@@ -324,6 +342,7 @@ class PopulationSolver:
         mesh=None,
         portfolio: str = "reference",
         cull_frac: float = 0.0,
+        cull_rank: str = "lex",
     ):
         self.problem = problem
         self.config = config
@@ -353,7 +372,7 @@ class PopulationSolver:
 
         progs = _population_programs(
             problem, config.ls_params(problem.width), config.ils_params(),
-            k_exchange, cull_frac, exchange_every, mesh,
+            k_exchange, cull_frac, exchange_every, cull_rank, mesh,
         )
         self._round_jit = progs.round
         self._chunk_jit = progs.chunk

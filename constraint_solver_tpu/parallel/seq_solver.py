@@ -400,8 +400,8 @@ def seq_pop_state_specs(pop_axis: str | None, seq_axis: str) -> IlsState:
 @lru_cache(maxsize=64)
 def _seq_programs(
     problem: Problem, config: SolverConfig, k_exchange: int, cull_frac: float,
-    exchange_every: int, mesh, pop_axis: str | None, seq_axis: str,
-    population: int,
+    exchange_every: int, cull_rank: str, mesh, pop_axis: str | None,
+    seq_axis: str, population: int,
 ):
     """Jitted pop x seq programs, shared across solver instances (the same
     no-recompile contract as parallel/population.py's program caches).
@@ -449,7 +449,8 @@ def _seq_programs(
         if k_exchange > 0 and population > 1:
             # Round-gated exchange cadence (population._gated_exchange):
             # chunk-size independent, matches the dense PopulationSolver.
-            st = _gated_exchange(st, n, k_exchange, cull_frac, exchange_every)
+            st = _gated_exchange(st, n, k_exchange, cull_frac,
+                                 exchange_every, cull_rank=cull_rank)
         return st
 
     def init_body(keys, temps):
@@ -516,6 +517,7 @@ class SeqShardedSolver(PopulationSolver):
         k_exchange: int = 4,
         portfolio: str = "reference",
         cull_frac: float = 0.0,
+        cull_rank: str = "lex",
     ):
         # No super().__init__: the seq problem's collectives need shard_map
         # for init and chunk; the parent's driver methods only touch the
@@ -538,7 +540,7 @@ class SeqShardedSolver(PopulationSolver):
         self.problem = make_seq_scheduling_problem(spec, mesh, axis, window_size)
         progs = _seq_programs(
             self.problem, config, k_exchange, cull_frac, exchange_every,
-            mesh, pop_axis, axis, population,
+            cull_rank, mesh, pop_axis, axis, population,
         )
         self._shardings = specs_to_shardings(
             seq_pop_state_specs(pop_axis, axis), mesh

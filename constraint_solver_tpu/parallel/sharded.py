@@ -44,7 +44,7 @@ from constraint_solver_tpu.parallel.population import (
 @lru_cache(maxsize=64)
 def _sharded_chunk_program(
     problem: Problem, ls_params, ils_params, k_exchange: int,
-    cull_frac: float, exchange_every: int, mesh,
+    cull_frac: float, exchange_every: int, cull_rank: str, mesh,
 ):
     """Jitted sharded-chunk program, shared across solver instances (same
     no-recompile contract as parallel/population.py's program caches):
@@ -66,7 +66,8 @@ def _sharded_chunk_program(
         # cond predicate is the lockstep round counter, equal on every
         # shard, so the collective-bearing branch executes uniformly.
         return _gated_exchange(
-            st, n, k_exchange, cull_frac, exchange_every, axis="pop"
+            st, n, k_exchange, cull_frac, exchange_every, axis="pop",
+            cull_rank=cull_rank,
         )
 
     def run_chunk(st: IlsState, n: int) -> IlsState:
@@ -98,6 +99,7 @@ class ShardedPopulationSolver(PopulationSolver):
         k_exchange: int = 4,
         portfolio: str = "reference",
         cull_frac: float = 0.0,
+        cull_rank: str = "lex",
     ):
         n_pop = mesh.shape["pop"]
         if population % n_pop != 0:
@@ -114,6 +116,7 @@ class ShardedPopulationSolver(PopulationSolver):
             mesh=mesh,
             portfolio=portfolio,
             cull_frac=cull_frac,
+            cull_rank=cull_rank,
         )
         # Replace the 1D chunk program with the explicit-collective one;
         # every other jitted program (probe, best_score, global_best, init)
@@ -122,7 +125,7 @@ class ShardedPopulationSolver(PopulationSolver):
         # it rather than let it mis-trace.
         self._chunk_jit = _sharded_chunk_program(
             problem, config.ls_params(problem.width), config.ils_params(),
-            k_exchange, cull_frac, exchange_every, mesh,
+            k_exchange, cull_frac, exchange_every, cull_rank, mesh,
         )
         self._chunk_traced_jit = None
 

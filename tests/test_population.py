@@ -187,3 +187,46 @@ def test_chunk_traced_matches_chunk_and_is_monotone():
     trace2 = b.execute_chunk_traced(3)
     np.testing.assert_array_equal(trace2[:, 0], np.arange(7, 10))
     assert tuple(trace2[0, 1:]) <= tuple(trace[-1, 1:])
+
+
+def test_cull_rank_lex_vs_hard_on_soft_plateau():
+    """VERDICT r4 directive 2: on a hard-score plateau (every lane at
+    hard=0, the state the quality race lives in), lexicographic cull rank
+    recycles the worst-SOFT lanes; hard-only rank degenerates to
+    lane-index order and recycles a fixed set regardless of soft."""
+    import jax.numpy as jnp
+
+    problem = make_nqueens_problem(8)
+    base = population_init(problem, _config(), 8, jax.random.key(3))
+    # Fill archives so every lane has a (real) best to restart from.
+    from functools import partial
+
+    from constraint_solver_tpu.core.ils import ils_round
+
+    cfg = _config()
+    rfn = jax.jit(jax.vmap(partial(
+        ils_round, problem, cfg.ls_params(problem.width), cfg.ils_params()
+    )))
+    for _ in range(3):
+        base = rfn(base)
+    # Craft a soft plateau: hard=0 everywhere, soft DESCENDING by lane
+    # (lane 0 is worst).  Values >= 100 cannot collide with real nqueens
+    # archive scores (soft channel is always 0 there).
+    crafted = jnp.stack(
+        [jnp.zeros(8), 107.0 - jnp.arange(8, dtype=jnp.float32)], axis=-1
+    )
+    plateau = base._replace(current_score=crafted)
+
+    culled_lanes = {}
+    for rank in ("lex", "hard"):
+        out = exchange_elites(plateau, 2, cull_frac=0.25, cull_rank=rank)
+        after = np.asarray(out.current_score)
+        culled_lanes[rank] = {
+            i for i in range(8)
+            if not np.array_equal(after[i], np.asarray(crafted)[i])
+        }
+    # lex: the two largest soft values (lanes 0, 1) are recycled.
+    assert culled_lanes["lex"] == {0, 1}, culled_lanes
+    # hard: all-tied hard -> stable index order -> the LAST two lanes,
+    # regardless of their (better) soft scores.
+    assert culled_lanes["hard"] == {6, 7}, culled_lanes
