@@ -89,6 +89,11 @@ class SolverConfig:
     # width * ring fits the budget below, else pick-then-check — see
     # LsParams.tabu_exact_filter); True/False forces a mode.
     tabu_exact_filter: bool | None = None
+    # Noisy dense selection (LsParams.select_topk / select_temp): sample
+    # the applied move from the top-k candidates instead of the argmin.
+    # 0 = exact argmin (the default, bit-identical to previous rounds).
+    select_topk: int = 0
+    select_temp: float = 1.0
 
     # Exact-filter auto threshold: candidate-width x ring-capacity compares
     # per iteration.  2^21 keeps the membership matrix in the same cost
@@ -110,6 +115,8 @@ class SolverConfig:
         return LsParams(
             max_iterations=self.local_search_max_iterations,
             allow_no_improvement_for=self.max_allow_no_improvement_for,
+            select_topk=self.select_topk,
+            select_temp=self.select_temp,
             tabu_exact_filter=exact,
             # A user-forced mode (True/False) must win even over proposers
             # that provide free dense fingerprints (the pick-then-check A/B

@@ -63,6 +63,17 @@ class LsParams(NamedTuple):
     # fingerprints (Neighborhood.fp_deltas) unless tabu_forced pins a mode.
     tabu_exact_filter: bool = False
     tabu_forced: bool = False
+    # Noisy selection (VERDICT r4 directive 3): when > 1, the applied move
+    # is SAMPLED from the ``select_topk`` lexicographically-best valid
+    # non-tabu candidates with Gumbel weight exp(-score/select_temp)
+    # (ops/lex.noisy_lex_select) instead of taking the global argmin —
+    # full-width dense evaluation with a noisy descent's diffusion.  Only
+    # the exact-filter path honors it (the wide pick-then-check domains
+    # already sample their candidate sets).  The selection key derives
+    # from the neighborhood key by fold_in, so 0 leaves every existing
+    # trajectory bit-identical.
+    select_topk: int = 0
+    select_temp: float = 1.0
     # Fixed-trip loops: run the descent (and the pick-then-check retry
     # loop) for their STATIC bounds with per-lane carry masking instead of
     # data-dependent while_loops.  Required whenever the problem's
@@ -233,7 +244,15 @@ def ls_execute(
                 )(iota_w)
             ok = nb.valid & ~tabu.is_tabu(fps_all)
             found = jnp.any(ok)
-            idx = lex_argmin(nb.scores, ok).astype(jnp.int32)
+            if params.select_topk > 1:
+                from constraint_solver_tpu.ops.lex import noisy_lex_select
+
+                idx = noisy_lex_select(
+                    nb.scores, ok, params.select_topk, params.select_temp,
+                    jax.random.fold_in(k_nb, 0x6E6F6973),
+                )
+            else:
+                idx = lex_argmin(nb.scores, ok).astype(jnp.int32)
             cand_fp = fps_all[idx]
             exhausted_event = jnp.asarray(False)
         else:

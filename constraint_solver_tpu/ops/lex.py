@@ -82,6 +82,42 @@ def lex_argmax(scores: jax.Array, valid: jax.Array | None = None) -> jax.Array:
     return jnp.argmax(tie & (soft_m == m1), axis=-1)
 
 
+def noisy_lex_select(
+    scores: jax.Array,
+    valid: jax.Array,
+    k: int,
+    temp: float,
+    key: jax.Array,
+    scale: float = 4096.0,
+) -> jax.Array:
+    """Sample a candidate index from the lexicographic top-``k`` of
+    ``scores`` [W, 2] via the Gumbel-max trick: P(i) ∝ exp(-w_i / temp)
+    restricted to the k best valid candidates, where
+    ``w = hard * scale + soft`` is the scalarized lexicographic key.
+
+    This is the dense-block diffusion knob (VERDICT r4 directive 3): the
+    global argmin is maximally exploitative but diffuses poorly along soft
+    plateaus; sampling among the top-k keeps the full-width evaluation
+    while restoring the random walk a noisy descent gets for free.
+    ``temp -> 0`` recovers argmin (up to tie-breaking); large ``temp`` is
+    uniform over the top-k.
+
+    Exactness bound: the scalarization is exact while both channels are
+    integers with ``hard < 2^24 / scale`` and ``soft < scale`` (float32
+    integer exactness) — satisfied by every shipped domain (scheduling
+    hard/soft are small counts; single-objective domains have soft = 0).
+    Ties AT the k-th value are all eligible (one extra tied candidate
+    beats dropping an equal-quality one)."""
+    w = scores[..., 0] * scale + scores[..., 1]
+    w = jnp.where(valid, w, jnp.inf)
+    k = min(k, w.shape[-1])
+    kth = -jax.lax.top_k(-w, k)[0][..., k - 1]
+    in_topk = valid & (w <= kth)
+    g = jax.random.gumbel(key, w.shape)
+    logit = jnp.where(in_topk, -w / max(temp, 1e-9) + g, -jnp.inf)
+    return jnp.argmax(logit, axis=-1).astype(jnp.int32)
+
+
 def lex_top_k(scores: jax.Array, k: int, *payload: jax.Array):
     """Smallest-k scores with payload, via XLA multi-key sort.
 

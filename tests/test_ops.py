@@ -89,3 +89,34 @@ def test_fingerprint_no_trivial_collisions():
 def test_position_hash_shape():
     h = position_hash(jnp.arange(4, dtype=jnp.int32), jnp.arange(4, dtype=jnp.uint32))
     assert h.shape == (4, 2)
+
+
+def test_noisy_lex_select_topk_membership_and_limits():
+    """ops/lex.noisy_lex_select: every sample lies in the valid top-k; tiny
+    temperature recovers the argmin on distinct scores; high temperature
+    reaches every top-k member (VERDICT r4 directive 3)."""
+    import jax
+
+    from constraint_solver_tpu.ops.lex import lex_argmin, noisy_lex_select
+
+    rng = np.random.default_rng(0)
+    hard = rng.integers(0, 5, 64).astype(np.float32)
+    soft = rng.permutation(64).astype(np.float32)  # distinct within ties
+    scores = jnp.stack([jnp.asarray(hard), jnp.asarray(soft)], -1)
+    valid = jnp.asarray(rng.random(64) < 0.8)
+    w = np.where(np.asarray(valid), hard * 4096 + soft, np.inf)
+    top8 = set(np.argsort(w)[:8].tolist())
+
+    picks = [
+        int(noisy_lex_select(scores, valid, 8, 5e5, jax.random.key(s)))
+        for s in range(200)
+    ]
+    assert set(picks) <= top8
+    # High temperature: every top-8 member is reachable.
+    assert set(picks) == top8
+    # Tiny temperature: the argmin wins (scores are distinct).
+    cold = {
+        int(noisy_lex_select(scores, valid, 8, 1e-6, jax.random.key(s)))
+        for s in range(20)
+    }
+    assert cold == {int(lex_argmin(scores, valid))}

@@ -94,26 +94,42 @@ def test_dense_block_covers_all_changedays():
     assert ((d2 - d1)[diag_valid] >= 14).all()
 
 
-def test_dense_solver_end_to_end():
-    """The dense proposer drives the full engine to the reference-quality
-    region on the reference CLI instance."""
+def test_dense_noisy_selection_end_to_end():
+    """VERDICT r4 directive 3: select_topk > 1 samples the applied move
+    from the top-k of the dense block.  The solver must still reach the
+    reference-quality region, its recorded best must pass the independent
+    full-rescore integrity check, and the trajectory must actually differ
+    from the argmin engine's (the noise is live).  (This test replaced an
+    exact duplicate of test_dense_solver_end_to_end left behind by the
+    round-4 compound-slot retirement.)"""
     spec = _spec(31, 7)
     problem = make_scheduling_problem(spec, proposer="dense")
-    cfg = SolverConfig(
-        seed="dense",
-        local_search_max_iterations=200,
-        iterated_local_search_max_iterations=40,
-        all_solutions_capacity=128,
-        all_solution_iteration_expiry=400,
-        best_solutions_capacity=16,
-        max_allow_no_improvement_for=10,
-    )
-    s = Solver(problem, cfg)
-    s.run(max_rounds=40, chunk=10)
-    (hard, soft), assign = s.get_best_solution()
+
+    def cfg(**kw):
+        return SolverConfig(
+            seed="dense",
+            local_search_max_iterations=200,
+            iterated_local_search_max_iterations=40,
+            all_solutions_capacity=128,
+            all_solution_iteration_expiry=400,
+            best_solutions_capacity=16,
+            max_allow_no_improvement_for=10,
+            **kw,
+        )
+
+    noisy = Solver(problem, cfg(select_topk=64, select_temp=1.0))
+    noisy.run(max_rounds=40, chunk=10)
+    (hard, soft), assign = noisy.get_best_solution()
     assert hard == 0.0, (hard, soft)
     assert soft <= 12.0, (hard, soft)
-    assert len(assign) == 31
+    # Independent integrity: the recorded best == full rescore of the state.
+    rescored = np.asarray(problem.score(jnp.asarray(assign)))
+    assert (hard, soft) == (float(rescored[0]), float(rescored[1]))
+
+    argmin = Solver(problem, cfg())
+    argmin.run(max_rounds=40, chunk=10)
+    assert np.asarray(argmin.state.current_fp).tolist() != \
+        np.asarray(noisy.state.current_fp).tolist()
 
 
 @pytest.mark.parametrize("proposer", ["dense", "random", "rescore"])
