@@ -96,10 +96,13 @@ def measure_scheduling_baseline(days: int, emps: int) -> float:
         return SCHED_FALLBACK_BASELINE
 
 
-def run_full_baseline(args: list[str], budgets: list[float], seed: int) -> dict | None:
+def run_full_baseline(args: list[str], budgets: list[float], seed: int,
+                      with_holidays: int = 1) -> dict | None:
     """Complete reference-algorithm C++ baseline (bench/baseline_full.cc):
     best score at each wall budget.  Round budget 0 = uncapped (the wall is
-    the binding limit — strictly stronger than the reference CLI config)."""
+    the binding limit — strictly stronger than the reference CLI config).
+    ``with_holidays`` (scheduling only): 1 = the synthetic (17e+11k)%D
+    pattern shared with the TPU-side spec builder, 0 = no holidays."""
     exe = "/tmp/baseline_full"
     if not _build("baseline_full.cc", exe):
         return None
@@ -107,8 +110,9 @@ def run_full_baseline(args: list[str], budgets: list[float], seed: int) -> dict 
     try:
         out = subprocess.run(
             [exe, *args, budget_str]
-            + ([str(seed), "1", "0"] if args[0] == "scheduling" else [str(seed), "0"]),
-            check=True, capture_output=True, timeout=max(budgets) + 60,
+            + ([str(seed), str(with_holidays), "0"]
+               if args[0] == "scheduling" else [str(seed), "0"]),
+            check=True, capture_output=True, timeout=max(budgets) + 120,
         )
         return json.loads(out.stdout.strip())
     except Exception as e:  # noqa: BLE001
@@ -129,53 +133,51 @@ def lex_median_worst(runs: list[list[tuple]]) -> tuple[list, list]:
 
 
 def baseline_quality(args: list[str], budgets: list[float],
-                     seeds=(42, 43, 44)) -> tuple[list, list] | None:
+                     seeds=(42, 43, 44),
+                     with_holidays: int = 1) -> tuple[list, list] | None:
     runs = []
     for seed in seeds:
-        r = run_full_baseline(args, budgets, seed)
+        r = run_full_baseline(args, budgets, seed, with_holidays)
         if r is None:
             return None
         runs.append(list(zip(r["best_hard"], r["best_soft"])))
     return lex_median_worst(runs)
 
 
-# Probe every round while rounds < this, every `chunk` after: cuts the
-# chunk-boundary probe lag to one round near the smallest budget
-# (BENCH_NOTES.md "Quality-probe methodology").
-PROBE_FINE_ROUNDS = 16
-
-
 def tpu_best_at_walls(make_solver, budgets: list[float], chunk: int) -> list:
-    """Run a fresh solver, probing the global best after every chunk (every
-    ROUND before PROBE_FINE_ROUNDS); record the best score as each wall
-    budget passes.
-
-    Dispatches the chunk program DIRECTLY (one ~30 ms tunnel round-trip
-    per probe) instead of going through ``solver.run`` — the driver loop's
-    entry/exit bookkeeping (round-count probe, convergence check,
-    is_finished) adds ~3 more RTTs per fine-probed round, which at the
-    2.3 s budget cost the TPU side ~half its executed rounds (measured:
-    (0,10) medians via run() vs (0,8) via direct dispatch on the same
-    config — bench/sched_p128.py vs the first r4 official run).  Assumes
-    programs are already compiled (warm-up done by the caller)."""
+    """Best score at each wall budget from the ON-DEVICE per-round best
+    trace (VERDICT r4 directive 5): every chunk dispatch returns a
+    [chunk, 3] (round, best-hard, best-soft) array appended by the device
+    after each round; the host timestamps chunk boundaries and assigns
+    each round a wall time by linear interpolation inside its chunk.
+    Best-at-budget is then read off the per-round history — symmetric
+    with the C++ baseline's continuous best-held probe, with no
+    chunk-boundary lag and no altered exchange cadence (the round-4 fine
+    probe dispatched 1-round chunks whose end-of-chunk exchange fired
+    every round).  Interpolation error is bounded by one round's
+    in-chunk timing jitter, vs up to a whole chunk of under-credit for
+    the old boundary probe.  Assumes programs are already compiled
+    (warm-up done by the caller)."""
     solver = make_solver()
-    out: list = []
-    bi = 0
-    rounds = 0
+    hist: list = []  # (est_wall_s, (hard, soft)) per round, monotone
+    t_prev = 0.0
     t0 = time.time()
-    while bi < len(budgets):
-        n = 1 if rounds < PROBE_FINE_ROUNDS else chunk
-        solver.state = solver._chunk_jit(solver.state, n)
-        rounds += n
-        best = solver.get_best_score()
-        el = time.time() - t0
-        while bi < len(budgets) and el >= budgets[bi]:
-            out.append(best)
-            bi += 1
-        if best == (0.0, 0.0):
-            while bi < len(budgets):  # solved: best can't regress
-                out.append(best)
-                bi += 1
+    while True:
+        tr = solver.execute_chunk_traced(chunk)  # the read = the sync
+        t_now = time.time() - t0
+        for i in range(chunk):
+            t_est = t_prev + (i + 1) / chunk * (t_now - t_prev)
+            hist.append((t_est, (float(tr[i, 1]), float(tr[i, 2]))))
+        t_prev = t_now
+        if hist[-1][1] == (0.0, 0.0) or t_now >= budgets[-1]:
+            break
+    out = []
+    for b in budgets:
+        at = [s for t, s in hist if t <= b]
+        # Solved-early runs stop dispatching: later budgets inherit the
+        # final (un-regressable) best.  A first chunk outlasting the
+        # smallest budget would leave no entries; credit the first round.
+        out.append(at[-1] if at else hist[0][1])
     return out
 
 
@@ -195,6 +197,12 @@ def main() -> None:
     log(f"reference-style CPU baseline: {baseline:.0f} moves/s")
 
     import jax
+
+    # BENCH_PLATFORM=cpu forces the CPU backend for harness smoke tests
+    # (the env var JAX_PLATFORMS alone is ignored here — the axon
+    # sitecustomize overrides the config; docs/DESIGN.md).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     from constraint_solver_tpu.core.ils import SolverConfig
     from constraint_solver_tpu.models.nqueens import make_nqueens_problem
@@ -222,7 +230,7 @@ def main() -> None:
     solver = PopulationSolver(problem, config, population=POP, exchange_every=CHUNK)
     t0 = time.time()
     solver.run(max_rounds=CHUNK, chunk=CHUNK)
-    solver.run(max_rounds=1, chunk=1)  # fine-probe program shape
+    solver.execute_chunk_traced(CHUNK)  # quality-probe program shape
     log(f"warm-up (compile) {time.time() - t0:.1f}s")
 
     # --- timed solves from fresh state, REPEATS times ---------------------
@@ -290,8 +298,7 @@ def main() -> None:
             b128_med, b128_worst = b128
             w = PopulationSolver(p128, config, population=64,
                                  exchange_every=CHUNK)
-            w.run(max_rounds=1, chunk=1)  # compile warm-up (both shapes)
-            w.run(max_rounds=CHUNK, chunk=CHUNK)
+            w.execute_chunk_traced(CHUNK)  # compile warm-up
             t128_med, t128_worst = tpu_quality(
                 lambda rep: PopulationSolver(
                     p128, dataclasses.replace(config, seed=f"bench{rep}"),
@@ -323,35 +330,44 @@ def main() -> None:
         f"steps={int(out.steps)} time-to-zero={pmc_ttz:.2f}s"
     )
 
-    # --- nqueens-4096 via the ILS flagship path (not PMC): sampled-column
-    # dense block at a board size the reference's O(n^2)-rescore-per-move
-    # loop cannot touch (~100 ms/move at n=4096). ---------------------------
+    # --- large boards via the ILS flagship path (not PMC): sampled-column
+    # dense block at board sizes the reference's O(n^2)-rescore-per-move
+    # loop cannot touch (~100 ms/move at n=4096).  n=16384 exceeds the
+    # Pallas row-min key-packing bound (12n(n_pad+1) < 2^31,
+    # ops/nqueens_pallas.py), so it exercises the documented XLA
+    # neighborhood fallback — VERDICT r4 directive 6. -----------------------
     nq4096 = {}
-    try:
-        n_big = int(os.environ.get("BENCH_NQ_BIG", 4096))
-        p_big_pop = int(os.environ.get("BENCH_NQ_BIG_POP", 16))
-        p_big = make_nqueens_problem(n_big, sample_cols=64, use_pallas=on_tpu)
-        cfg_big = dataclasses.replace(config, seed="bench-big")
-        wb = PopulationSolver(p_big, cfg_big, population=p_big_pop,
-                              exchange_every=CHUNK)
-        wb.run(max_rounds=CHUNK, chunk=CHUNK)  # compile warm-up
-        sb = PopulationSolver(p_big, cfg_big, population=p_big_pop,
-                              exchange_every=CHUNK)
-        t0 = time.time()
-        sb.run(max_rounds=int(os.environ.get("BENCH_NQ_BIG_ROUNDS", 300)),
-               chunk=CHUNK)
-        big_ttz = time.time() - t0
-        (big_hard, _), _ = sb.get_best_solution()
-        big_tput = sb.stats()["ls_iterations"] * p_big.width / big_ttz
-        log(f"nqueens-{n_big} ILS (P={p_big_pop}, A=64): best={big_hard} "
-            f"ttz={big_ttz:.1f}s {big_tput:.3g} moves/s")
-        nq4096 = {
-            "nqueens4096_ils_ttz_s": round(big_ttz, 2),
-            "nqueens4096_ils_best_hard": big_hard,
-            "nqueens4096_ils_moves_per_sec": round(big_tput),
-        }
-    except Exception as e:  # noqa: BLE001
-        log(f"nqueens-4096 ILS failed: {e}")
+    for n_big in [int(v) for v in
+                  os.environ.get("BENCH_NQ_BIG", "4096,8192,16384").split(",")]:
+        try:
+            p_big_pop = int(os.environ.get("BENCH_NQ_BIG_POP", 16))
+            n_pad128 = ((n_big + 127) // 128) * 128
+            pallas_ok = on_tpu and 12 * n_big * (n_pad128 + 1) < 2**31 - 1
+            p_big = make_nqueens_problem(
+                n_big, sample_cols=64, use_pallas=pallas_ok
+            )
+            cfg_big = dataclasses.replace(config, seed="bench-big")
+            wb = PopulationSolver(p_big, cfg_big, population=p_big_pop,
+                                  exchange_every=CHUNK)
+            wb.run(max_rounds=CHUNK, chunk=CHUNK)  # compile warm-up
+            sb = PopulationSolver(p_big, cfg_big, population=p_big_pop,
+                                  exchange_every=CHUNK)
+            t0 = time.time()
+            sb.run(max_rounds=int(os.environ.get("BENCH_NQ_BIG_ROUNDS", 300)),
+                   chunk=CHUNK)
+            big_ttz = time.time() - t0
+            (big_hard, _), _ = sb.get_best_solution()
+            big_tput = sb.stats()["ls_iterations"] * p_big.width / big_ttz
+            log(f"nqueens-{n_big} ILS (P={p_big_pop}, A=64, "
+                f"{'pallas' if pallas_ok else 'xla'}): best={big_hard} "
+                f"ttz={big_ttz:.1f}s {big_tput:.3g} moves/s")
+            nq4096.update({
+                f"nqueens{n_big}_ils_ttz_s": round(big_ttz, 2),
+                f"nqueens{n_big}_ils_best_hard": big_hard,
+                f"nqueens{n_big}_ils_moves_per_sec": round(big_tput),
+            })
+        except Exception as e:  # noqa: BLE001
+            log(f"nqueens-{n_big} ILS failed: {e}")
 
     # --- employee-scheduling 365d x 20e (the second north-star domain,
     # BASELINE.json) — dense-block delta scoring: throughput vs the
@@ -408,12 +424,23 @@ def main() -> None:
         q_pop = int(os.environ.get("BENCH_QPOP", 128))
         sched_baseline = measure_scheduling_baseline(s_days, s_emps)
         log(f"reference-style scheduling baseline: {sched_baseline:.0f} moves/s")
-        d0 = datetime.date(2024, 1, 1)
-        spec = ScheduleSpec.from_dates(
-            d0, d0 + datetime.timedelta(days=s_days - 1), s_emps,
-            {e: [d0 + datetime.timedelta(days=(17 * e + 11 * k) % s_days)
-                 for k in range(10)] for e in range(s_emps)},
-        )
+
+        def sched_spec(days, emps, holidays=True):
+            """The bench instance family: employee e's 10 holidays fall on
+            days (17e + 11k) % D — the SAME closed form
+            bench/baseline_full.cc hard-codes for its with_holidays=1 mode,
+            so both sides of every quality race score the identical
+            instance."""
+            d0 = datetime.date(2024, 1, 1)
+            hols = {
+                e: [d0 + datetime.timedelta(days=(17 * e + 11 * k) % days)
+                    for k in range(10)] for e in range(emps)
+            } if holidays else {}
+            return ScheduleSpec.from_dates(
+                d0, d0 + datetime.timedelta(days=days - 1), emps, hols
+            )
+
+        spec = sched_spec(s_days, s_emps)
         # n_rand_swaps=256 widens the unrestricted-swap section of the
         # dense block (close-pair swaps the >= 14-day diagonals cannot
         # express).  NOTE: this dense run is the THROUGHPUT measurement
@@ -463,36 +490,88 @@ def main() -> None:
             "scheduling365_vs_baseline": round(s_tput / sched_baseline, 1),
         }
 
-        base_sched = baseline_quality(
-            ["scheduling", str(s_days), str(s_emps)], BUDGETS
-        )
-        if base_sched:
-            sb_med, sb_worst = base_sched
-            log(f"baseline scheduling best-at-wall median={sb_med} "
-                f"worst={sb_worst}")
-            # The quality race runs the production quality mode: the
-            # reference-shaped random-window population with elite
-            # exchange + culling (see make_sched_quality_solver above and
-            # BENCH_NOTES.md round 4).
-            warm = make_sched_quality_solver(spec, "warm", q_pop)
-            warm.run(max_rounds=1, chunk=1)  # fine-probe program shape
-            warm.run(max_rounds=2, chunk=2)
-            st_med, st_worst = tpu_quality(
-                lambda rep: make_sched_quality_solver(spec, f"bench{rep}",
+        # --- quality-at-wall MATRIX over instance shapes (VERDICT r4
+        # directive 1): the production quality mode (random-window
+        # population + elite exchange + lex culling) must beat the
+        # complete reference algorithm on instances it was never tuned
+        # on — varying D, E, and holiday density.  Every instance races
+        # 3 fresh-state repeats per side and gates on per-budget medians.
+        instances = [
+            i for i in os.environ.get(
+                "BENCH_QUALITY_INSTANCES", "365x20,180x10,365x20nohol,730x40"
+            ).split(",") if i
+        ]
+        matrix = {}
+        all_ok = []
+        for inst in instances:
+            shape, hol = (inst[:-5], False) if inst.endswith("nohol") \
+                else (inst, True)
+            days, emps = (int(v) for v in shape.split("x"))
+            base_q = baseline_quality(
+                ["scheduling", str(days), str(emps)], BUDGETS,
+                with_holidays=int(hol),
+            )
+            if not base_q:
+                continue
+            qb_med, qb_worst = base_q
+            q_spec = spec if (days, emps, hol) == (365, 20, True) \
+                else sched_spec(days, emps, hol)
+            warm = make_sched_quality_solver(q_spec, "warm", q_pop)
+            warm.execute_chunk_traced(2)  # compile warm-up
+            qt_med, qt_worst = tpu_quality(
+                lambda rep: make_sched_quality_solver(q_spec, f"bench{rep}",
                                                       q_pop),
                 BUDGETS, 2, REPEATS,
             )
-            ok = all(t <= b for t, b in zip(st_med, sb_med))
-            log(f"tpu scheduling best-at-wall median={st_med} worst={st_worst} "
+            ok = all(t <= b for t, b in zip(qt_med, qb_med))
+            all_ok.append(ok)
+            log(f"quality[{inst}] baseline={qb_med} tpu={qt_med} "
                 f"gate={'WIN' if ok else 'LOSE'}")
-            sched_extras.update({
-                "scheduling365_baseline_best_at": [list(b) for b in sb_med],
-                "scheduling365_baseline_best_at_worst":
-                    [list(b) for b in sb_worst],
-                "scheduling365_tpu_best_at": [list(t) for t in st_med],
-                "scheduling365_tpu_best_at_worst": [list(t) for t in st_worst],
-                "scheduling365_quality_ok": ok,
-            })
+            matrix[inst] = {
+                "baseline_best_at": [list(b) for b in qb_med],
+                "baseline_best_at_worst": [list(b) for b in qb_worst],
+                "tpu_best_at": [list(t) for t in qt_med],
+                "tpu_best_at_worst": [list(t) for t in qt_worst],
+                "quality_ok": ok,
+            }
+            if inst == "365x20":
+                # Headline keys, same names as rounds 3-4.
+                sched_extras.update({
+                    "scheduling365_baseline_best_at":
+                        [list(b) for b in qb_med],
+                    "scheduling365_baseline_best_at_worst":
+                        [list(b) for b in qb_worst],
+                    "scheduling365_tpu_best_at": [list(t) for t in qt_med],
+                    "scheduling365_tpu_best_at_worst":
+                        [list(t) for t in qt_worst],
+                    "scheduling365_quality_ok": ok,
+                })
+        if matrix:
+            sched_extras["scheduling_quality_matrix"] = matrix
+            sched_extras["scheduling_quality_ok_all"] = all(all_ok)
+
+        # --- optional long-wall arm (VERDICT r4 directive 8): one repeat
+        # per side at BENCH_LONG_S seconds on 365x20, checking the
+        # baseline never crosses late. ---------------------------------
+        long_s = float(os.environ.get("BENCH_LONG_S", 0))
+        if long_s > 0:
+            lb = run_full_baseline(
+                ["scheduling", str(s_days), str(s_emps)], [long_s], 42
+            )
+            warm = make_sched_quality_solver(spec, "warm-long", q_pop)
+            warm.execute_chunk_traced(2)
+            lt = tpu_best_at_walls(
+                lambda: make_sched_quality_solver(spec, "bench-long", q_pop),
+                [long_s], 2,
+            )
+            if lb:
+                lb_score = [lb["best_hard"][0], lb["best_soft"][0]]
+                log(f"long-wall {long_s}s: baseline={lb_score} tpu={lt[0]}")
+                sched_extras["scheduling365_long_wall"] = {
+                    "budget_s": long_s,
+                    "baseline_best": lb_score,
+                    "tpu_best": list(lt[0]),
+                }
     except Exception as e:  # noqa: BLE001
         log(f"scheduling extra failed: {e}")
 
