@@ -554,11 +554,16 @@ class SeqShardedSolver(PopulationSolver):
             # Same split as population_init: bit-identical lanes to the
             # dense PopulationSolver on the same seed.
             keys = jax.random.split(key, population)
-        temps = jax.device_put(
-            portfolio_temps(population, portfolio),
-            NamedSharding(mesh, P(pop_axis)),
+        # device_put_global: plain device_put rejects multi-process
+        # shardings (non-addressable devices), and this constructor must
+        # work on a real 2-process pod mesh (tests/test_distributed.py).
+        from constraint_solver_tpu.parallel.mesh import device_put_global
+
+        lane_sharding = NamedSharding(mesh, P(pop_axis))
+        temps = device_put_global(
+            portfolio_temps(population, portfolio), lane_sharding
         )
-        keys = jax.device_put(keys, NamedSharding(mesh, P(pop_axis)))
+        keys = device_put_global(keys, lane_sharding)
         self.state = progs.init(keys, temps)
         self._chunk_jit = progs.chunk
         self._step_jit = progs.step
