@@ -43,6 +43,9 @@ REPS = int(os.environ.get("SWEEP_REPS", 3))
 
 ARMS = ["lex", "hard", "exch1", "dense_argmin", "dense_t05", "dense_t1",
         "dense_t2"]
+# Follow-up arms (run via SWEEP_SET): dense_t025 probes below the measured
+# t=0.5 sweet spot; dense_t05_cull adds the rank-based culling that closed
+# the random-window mode's early race in round 4.
 
 
 def make_spec():
@@ -56,8 +59,10 @@ def make_spec():
 
 def make_solver(arm, spec, seed):
     if arm.startswith("dense"):
-        temp = {"dense_t05": 0.5, "dense_t1": 1.0, "dense_t2": 2.0}.get(arm, 1.0)
+        temp = {"dense_t025": 0.25, "dense_t05": 0.5, "dense_t1": 1.0,
+                "dense_t2": 2.0, "dense_t05_cull": 0.5}.get(arm, 1.0)
         topk = 0 if arm == "dense_argmin" else 64
+        cull = 0.25 if arm.endswith("_cull") else 0.0
         problem = make_scheduling_problem(spec, proposer="dense",
                                           n_rand_swaps=256)
         cfg = SolverConfig(
@@ -72,7 +77,7 @@ def make_solver(arm, spec, seed):
             select_temp=temp,
         )
         return PopulationSolver(problem, cfg, population=64,
-                                exchange_every=2), 2
+                                exchange_every=2, cull_frac=cull), 2
     problem = make_scheduling_problem(spec, proposer="random",
                                       window_size=100)
     cfg = SolverConfig(
