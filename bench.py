@@ -332,17 +332,16 @@ def main() -> None:
 
     # --- large boards via the ILS flagship path (not PMC): sampled-column
     # dense block at board sizes the reference's O(n^2)-rescore-per-move
-    # loop cannot touch (~100 ms/move at n=4096).  n=16384 exceeds the
-    # Pallas row-min key-packing bound (12n(n_pad+1) < 2^31,
-    # ops/nqueens_pallas.py), so it exercises the documented XLA
-    # neighborhood fallback — VERDICT r4 directive 6. -----------------------
+    # loop cannot touch (~100 ms/move at n=4096).  Boards past the int32
+    # key-packing bound (~13k) take the kernel's two-pass row-min path
+    # (ops/nqueens_pallas.py); BENCH_NQ_XLA=1 forces the XLA neighborhood
+    # for an A/B — VERDICT r4 directive 6. ---------------------------------
     nq4096 = {}
     for n_big in [int(v) for v in
                   os.environ.get("BENCH_NQ_BIG", "4096,8192,16384").split(",")]:
         try:
             p_big_pop = int(os.environ.get("BENCH_NQ_BIG_POP", 16))
-            n_pad128 = ((n_big + 127) // 128) * 128
-            pallas_ok = on_tpu and 12 * n_big * (n_pad128 + 1) < 2**31 - 1
+            pallas_ok = on_tpu and not os.environ.get("BENCH_NQ_XLA")
             p_big = make_nqueens_problem(
                 n_big, sample_cols=64, use_pallas=pallas_ok
             )

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    n, c_ref, r_ref, removed_ref, cur_ref, rc_ref, dc_ref, ac_ref,
+    n, packed, c_ref, r_ref, removed_ref, cur_ref, rc_ref, dc_ref, ac_ref,
     out_ref, key_ref,
 ):
     # Shapes are lane-padded: rc [1, n_pad], dc/ac [1, 2*n_pad], out [A, n_pad].
@@ -82,26 +82,40 @@ def _kernel(
 
     jax.lax.fori_loop(0, a, body, 0)
 
-    # Phase 2 — per-row min+argmin as ONE vectorized pass over the
+    # Phase 2 — per-row min+argmin as a vectorized pass over the
     # VMEM-resident block.  Per-row scalar reductions with SMEM stores
     # inside the fori measured +4.3 ms/lockstep-iteration (2.9 -> 7.2,
-    # bench/ls_isolation.py); this pass is a handful of [A, n_pad] vector
-    # ops.  The score delta (score - cur = 2*(added - removed), a bounded
-    # small integer in [-6n, 6n]) and the lane index pack into one int32
-    # key, so a single row-min yields value AND first-index argmin:
-    #     key = (delta + 6n) * n_pad + lane     (exact: < 12n * n_pad)
-    # Ties in delta resolve to the smaller lane, matching lex_argmin.
+    # bench/ls_isolation.py); these passes are a handful of [A, n_pad]
+    # vector ops.  Both modes emit key_ref as int32[A, 2] =
+    # (delta_min, argmin_lane); ties in delta resolve to the smaller
+    # lane, matching lex_argmin's first-index rule.
     block = out_ref[...]
     rp_b = jax.lax.broadcasted_iota(jnp.int32, (a, n_pad), 1)
     delta = (block - cur).astype(jnp.int32)
-    key = (delta + 6 * n) * n_pad + rp_b
-    # Padded-lane sentinel must exceed every legitimate key.  The caller
-    # guard keeps keys < 2^31 - 1, so int32 max is strictly larger — a
-    # fixed 2e9 constant could lose to a near-max key around n ~ 13k and
-    # silently decode a garbage row argmin.
     big = jnp.iinfo(jnp.int32).max
-    key = jnp.where(rp_b < n, key, big)
-    key_ref[...] = jnp.min(key, axis=1, keepdims=True)
+    if packed:
+        # Small boards: the score delta (a bounded small integer in
+        # [-6n, 6n]) and the lane index pack into one int32 key, so a
+        # SINGLE row-min yields value AND first-index argmin:
+        #     key = (delta + 6n) * n_pad + lane     (exact: < 12n * n_pad)
+        # The padded-lane sentinel must exceed every legitimate key; the
+        # caller selects this mode only while keys stay < 2^31 - 1
+        # (n <= ~13k), where int32 max is strictly larger.
+        key = (delta + 6 * n) * n_pad + rp_b
+        key = jnp.where(rp_b < n, key, big)
+        kmin = jnp.min(key, axis=1, keepdims=True)  # [A, 1]
+        key_ref[:, 0:1] = kmin // n_pad - 6 * n
+        key_ref[:, 1:2] = kmin % n_pad
+    else:
+        # Large boards (the packing would overflow int32): two passes —
+        # row-min of the masked delta, then row-min of the lane index
+        # over the delta-min positions.  One extra [A, n_pad] sweep buys
+        # an unbounded n (VMEM capacity becomes the only limit).
+        dmask = jnp.where(rp_b < n, delta, big)
+        dmin = jnp.min(dmask, axis=1, keepdims=True)  # [A, 1]
+        lane = jnp.where(dmask == dmin, rp_b, big)
+        key_ref[:, 0:1] = dmin
+        key_ref[:, 1:2] = jnp.min(lane, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -121,12 +135,11 @@ def nqueens_neighborhood_scores(
     a = c.shape[0]
     del rows
     n_pad = ((n + 127) // 128) * 128
-    if 12 * n * (n_pad + 1) >= 2**31 - 1:
-        # The (delta, lane) int32 key packing is exact only while every key
-        # stays strictly below the int32-max padded-lane sentinel
-        # (n <= ~13k).  Boards past that use the XLA neighborhood path
-        # (make_nqueens_problem(use_pallas=False)).
-        raise ValueError(f"nqueens Pallas kernel key packing overflows at n={n}")
+    # The single-pass (delta, lane) int32 key packing is exact only while
+    # every key stays strictly below the int32-max padded-lane sentinel
+    # (n <= ~13k); larger boards take the two-pass row-min (one extra
+    # [A, n_pad] sweep, no bound) — see _kernel phase 2.
+    packed = 12 * n * (n_pad + 1) < 2**31 - 1
     rc_p = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(rc)
     dc_p = jnp.zeros((1, 2 * n_pad), jnp.float32).at[0, : 2 * n - 1].set(dc)
     ac_p = jnp.zeros((1, 2 * n_pad), jnp.float32).at[0, : 2 * n - 1].set(ac)
@@ -140,15 +153,15 @@ def nqueens_neighborhood_scores(
         ],
         out_specs=(
             pl.BlockSpec((a, n_pad), lambda *_: (0, 0)),
-            pl.BlockSpec((a, 1), lambda *_: (0, 0)),
+            pl.BlockSpec((a, 2), lambda *_: (0, 0)),
         ),
     )
     out, key = pl.pallas_call(
-        functools.partial(_kernel, n),
+        functools.partial(_kernel, n, packed),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((a, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((a, 1), jnp.int32),
+            jax.ShapeDtypeStruct((a, 2), jnp.int32),
         ),
         interpret=interpret,
     )(
@@ -160,7 +173,6 @@ def nqueens_neighborhood_scores(
         dc_p,
         ac_p,
     )
-    key = key[:, 0]
-    row_arg = key % n_pad
-    row_min = cur_hard + (key // n_pad - 6 * n).astype(jnp.float32)
+    row_min = cur_hard + key[:, 0].astype(jnp.float32)
+    row_arg = key[:, 1]
     return out[:, :n], row_min, row_arg

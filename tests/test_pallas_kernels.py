@@ -79,3 +79,32 @@ def test_hint_matches_argmin_over_random_states():
         if not bool(nb.valid.any()):
             continue
         assert int(nb.hint_idx) == int(lex_argmin(nb.scores, nb.valid)), trial
+
+
+def test_kernel_two_pass_row_min_past_packing_bound():
+    """n past the int32 key-packing bound (~13k) takes the two-pass
+    row-min path (ops/nqueens_pallas.py phase 2); min/argmin must stay
+    exact with first-index tie-break, same as the packed path.  Spot
+    checks a handful of candidate scores against full rescores (the O(n)
+    interpret-mode full sweep is too slow at this size)."""
+    rng = np.random.default_rng(7)
+    n, a = 14000, 3
+    assert 12 * n * ((((n + 127) // 128) * 128) + 1) >= 2**31 - 1
+    rows = jnp.asarray(rng.integers(0, n, size=n), jnp.int32)
+    st = build_state(rows)
+    c = jnp.asarray(rng.choice(n, size=a, replace=False), jnp.int32)
+    r = st.rows[c]
+    d = r - c + (n - 1)
+    aa = r + c
+    removed = (st.rc[r] - 1) + (st.dc[d] - 1) + (st.ac[aa] - 1)
+    cur = jnp.float32(int(total_conflicts(rows)))
+    scores, row_min, row_arg = nqueens_neighborhood_scores(
+        st.rows, st.rc, st.dc, st.ac, c, r, removed, cur, interpret=True
+    )
+    s = np.asarray(scores)
+    np.testing.assert_array_equal(np.asarray(row_min), s.min(axis=1))
+    np.testing.assert_array_equal(np.asarray(row_arg), s.argmin(axis=1))
+    for j in range(a):
+        for rp in (0, int(row_arg[j]), n // 2, n - 1):
+            applied = rows.at[int(c[j])].set(rp)
+            assert float(s[j, rp]) == int(total_conflicts(applied))
