@@ -34,7 +34,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _WEEKDAYS = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
 
-# Reference wasm-bridge hyperparameters (wasm lib.rs:30-37).
+# Reference wasm-bridge hyperparameters (wasm lib.rs:30-37), plus the
+# TPU-native noisy-selection knobs (select_topk/select_temp — sample the
+# applied dense-block move from the top-k instead of the argmin; the
+# measured round-5 dense quality configuration is topk=64, temp=0.5).
 _DEFAULTS = dict(
     seed="42",
     local_search_max_iterations=1_000,
@@ -45,7 +48,10 @@ _DEFAULTS = dict(
     all_solution_iteration_expiry=1_000,
     iterated_local_search_max_iterations=250,
     max_allow_no_improvement_for=20,
+    select_topk=0,
+    select_temp=1.0,
 )
+_FLOAT_PARAMS = ("select_temp",)
 
 
 class SolverService:
@@ -110,10 +116,16 @@ class SolverService:
         }}
         params["seed"] = str(params["seed"])
         for k in params:
-            if k not in ("seed", "proposer"):
+            if k in _FLOAT_PARAMS:
+                params[k] = float(params[k])
+            elif k not in ("seed", "proposer"):
                 params[k] = int(params[k])
         if params["proposer"] not in ("dense", "random", "rescore", "systematic"):
             raise ValueError(f"unknown proposer {params['proposer']!r}")
+        if not 0 <= params["select_topk"] <= 4096:
+            raise ValueError("select_topk out of range (0..4096)")
+        if not 0.0 < params["select_temp"] <= 1e6:
+            raise ValueError("select_temp out of range")
         spec = ScheduleSpec.from_dates(start, end, len(employees), {
             employees.index(e): days for e, days in holidays.items()
         })

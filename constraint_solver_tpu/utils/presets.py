@@ -61,6 +61,32 @@ def scheduling_quality(seed: str = "42") -> SolverConfig:
     )
 
 
+def scheduling_dense_quality(seed: str = "42") -> SolverConfig:
+    """The measured NOISY-DENSE quality configuration (round-5 A/B,
+    bench/sched_quality_r5.py + BENCH_NOTES.md): the dense all-moves
+    proposer (``make_scheduling_problem(spec, proposer="dense",
+    n_rand_swaps=256)``) with the applied move Gumbel-sampled from the 64
+    best candidates at temperature 0.5 instead of the global argmin.
+    Beats the complete single-thread reference algorithm at every
+    measured wall budget on 365d x 20e — medians (0,8)/(0,8)/(0,7) vs
+    (0,11)/(0,9)/(0,8) at 2.3/10/60 s over a P=64 population with elite
+    exchange every 2 rounds — where the same configuration with argmin
+    selection loses by one point everywhere.  ``scheduling_quality``
+    (the random-window population) remains the overall champion; this is
+    the TPU-native dense alternative."""
+    return SolverConfig(
+        seed=seed,
+        local_search_max_iterations=200,
+        best_solutions_capacity=16,
+        all_solutions_capacity=256,
+        all_solution_iteration_expiry=1_000,
+        iterated_local_search_max_iterations=100_000,
+        max_allow_no_improvement_for=20,
+        select_topk=64,
+        select_temp=0.5,
+    )
+
+
 def ackley_test(seed: str = "0") -> SolverConfig:
     """reference local-search/src/iterated_local_search.rs:222-256 (the ILS
     convergence tests; min/max move sizes 1e-3/0.5 go to

@@ -323,3 +323,34 @@ def test_population_bounds_rejected(server_url):
                            {**base, **bad})
         assert status == 400, (bad, res)
         assert "error" in res
+
+
+def test_noisy_dense_selection_served(server_url):
+    """select_topk/select_temp ride the wasm-shaped payload: the round-5
+    noisy-dense quality configuration is servable end-to-end, and bad
+    values 400."""
+    base = {
+        "startDate": "2022-05-09",
+        "endDate": "2022-05-22",
+        "employees": [{"id": 0}, {"id": 1}, {"id": 2}, {"id": 3}, {"id": 4}],
+        "employeeHolidays": [[], [], [], [], []],
+        "proposer": "dense",
+        "select_topk": 64,
+        "select_temp": 0.5,
+        "iterated_local_search_max_iterations": 40,
+        "local_search_max_iterations": 200,
+    }
+    status, res = _req(server_url + "/api/solvers", "POST", base)
+    assert status == 200
+    sid = res["solverId"]
+    while True:
+        status, r = _req(f"{server_url}/api/solvers/{sid}/round", "POST")
+        assert status == 200
+        if r["isFinished"]:
+            break
+    assert r["result"]["score"]["hard_score"] == 0
+    _req(f"{server_url}/api/solvers/{sid}", "DELETE")
+
+    status, res = _req(server_url + "/api/solvers", "POST",
+                       {**base, "select_temp": 0})
+    assert status == 400
