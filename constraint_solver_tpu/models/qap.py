@@ -133,10 +133,20 @@ def make_qap_problem(
         a_idx = jnp.broadcast_to(ia[:, None], (n, n)).reshape(-1)
         b_idx = jnp.broadcast_to(ia[None, :], (n, n)).reshape(-1)
         valid = (a_idx < b_idx)  # each unordered swap once, no no-ops
+        # NEGATIVE RESULT (round 5, bench/qap_scale.py): supplying a
+        # proposer-computed hint_idx via a [n, n] row-min sweep + per-lane
+        # dynamic row slice measured 12x SLOWER at n=1024 (8.1e9 ->
+        # 6.3e8 moves/s) — the vmapped dynamic_slice over per-lane row
+        # starts lowers to a serialized gather (the same poison the
+        # round-4 scheduling trace caught), and n=2048 stopped compiling
+        # (a [P, n^2, 1] broadcast materialized at 128x lane padding).
+        # The engine's flat masked lex_argmin fuses fine; only the
+        # algebraic candidate count is worth providing.
         return Neighborhood(
             scores=make_score(cand.reshape(-1)),
             moves=(a_idx, b_idx),
             valid=valid,
+            n_valid=jnp.int32(n * (n - 1) // 2),
         )
 
     def neighborhood_sharded(p, cur_score, _key):

@@ -175,3 +175,20 @@ def test_qap_sharded_population_solves():
     flow, dist = spec.arrays()
     assert hard == qap_cost_naive(flow, dist, np.asarray(perm))
     assert sorted(np.asarray(perm).tolist()) == list(range(16))
+
+
+def test_neighborhood_n_valid_matches_mask():
+    """Neighborhood.n_valid contract (core/problem.py): the algebraic
+    candidate count must equal the mask's population count.  (A
+    proposer-computed hint_idx was tried and reverted — the per-lane
+    dynamic row slice serialized on TPU; see models/qap.py.)"""
+    import jax
+
+    for seed in range(3):
+        spec = QAPSpec.random(12, seed=seed, max_val=3)
+        problem = make_qap_problem(spec)
+        key = jax.random.key(seed)
+        p = problem.init(key)
+        nb = problem.neighborhood(p, problem.score(p), key)
+        assert nb.hint_idx is None
+        assert int(nb.n_valid) == int(np.sum(np.asarray(nb.valid)))
