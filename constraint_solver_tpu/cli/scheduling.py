@@ -34,6 +34,16 @@ def main(argv=None):
         help="random/rescore proposers only: moves sampled per iteration "
         "(ref window_size=100); passing it without --proposer selects the "
         "reference's random proposer")
+    parser.add_argument(
+        "--select-topk", type=int, default=0,
+        help="dense proposer: sample the applied move from the k best "
+        "candidates (Gumbel over exp(-score/temp)) instead of the argmin; "
+        "the measured round-5 quality configuration is 64 "
+        "(BENCH_NOTES.md, presets.scheduling_dense_quality)")
+    parser.add_argument(
+        "--select-temp", type=float, default=0.5,
+        help="selection temperature for --select-topk (default 0.5, the "
+        "measured sweet spot)")
     parser.add_argument("--population", "-p", type=int, default=1)
     parser.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     parser.add_argument("--quiet", action="store_true")
@@ -71,6 +81,8 @@ def main(argv=None):
     config = dataclasses.replace(
         presets.scheduling_cli(seed=args.seed),
         iterated_local_search_max_iterations=args.rounds,
+        select_topk=args.select_topk,
+        select_temp=args.select_temp,
     )
     # --window-size only shapes the random/rescore neighborhoods; giving it
     # without --proposer means the caller wants the reference's windowed
