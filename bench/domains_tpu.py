@@ -89,6 +89,10 @@ def main():
 
     qap = make_qap_problem(QAPSpec.random(256, seed=0))
     run(qap, config, pop=64, rounds=6, label="qap-256")
+    # Row-min compact proposer (models/qap.py compact=True): identical
+    # winners, fewer VPU passes — the n>=1024 A/B lives in qap_scale.py.
+    qap_c = make_qap_problem(QAPSpec.random(256, seed=0), compact=True)
+    run(qap_c, config, pop=64, rounds=6, label="qap-256c")
 
     # Reference CLI scheduling instance (7 employees, 31 days from
     # 2022-05-09; ref employee-scheduling main.rs:8-63), wasm-bridge params.

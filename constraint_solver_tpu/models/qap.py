@@ -85,8 +85,29 @@ def make_qap_problem(
     nbr_axis: str | None = None,
     nbr_shards: int = 1,
     nbr_keep: int = 64,
+    compact: bool = False,
 ) -> Problem:
-    """``nbr_axis``/``nbr_shards``: tensor-parallel neighborhood.  Inside a
+    """``compact``: row-min candidate compaction for MXU-scale boards.  The
+    round-5 roofline verdict (BENCH_NOTES "QAP at MXU scale") found the
+    n>=1024 program VPU-bound at ~90% utilization: the O(n^2)-lane score
+    packing ([W, 2] make_score) and the engine's full-width masked lex
+    argmin take longer than the one MXU contraction they surround.  With
+    ``compact=True`` the proposer reduces the [n, n] delta block to ONE
+    candidate per facility row — a fused masked min+argmin over axis 1,
+    the same reduction XLA fuses INTO the delta assembly — and hands the
+    engine an n-wide candidate list (best swap partner per row) instead
+    of the n^2-wide block.  The lexicographic winner is IDENTICAL to the
+    dense path's (flat row-major argmin == smallest-a-then-smallest-b ==
+    per-row argmin + first-index row pick; tested), so greedy descents
+    take the same trajectory.  Divergence (documented per docs/DESIGN.md):
+    tabu retries beyond the first pick see the best-of-each-OTHER-row
+    rather than the global 2nd-best (which may share a row with the
+    winner) — measured first-pick tabu-hit rate on wide blocks is 0
+    (core/local_search.py:118-121), so this is theoretical.  ``width``
+    stays n^2: every delta is still evaluated each iteration, the
+    compaction only removes VPU passes over the candidate *list*.
+
+    ``nbr_axis``/``nbr_shards``: tensor-parallel neighborhood.  Inside a
     ``shard_map`` over that mesh axis each shard scores its n/shards ROW
     BLOCK of the [n, n] swap-delta matrix with two [n/S, n] x [n, n] MXU
     matmuls (H and Hᵀ rows; F and G are symmetric so Hᵀ rows = G[rows] @ F),
@@ -147,6 +168,30 @@ def make_qap_problem(
             moves=(a_idx, b_idx),
             valid=valid,
             n_valid=jnp.int32(n * (n - 1) // 2),
+        )
+
+    def neighborhood_compact(p, cur_score, _key):
+        # Same MXU delta algebra as ``neighborhood``, then a fused masked
+        # row-wise min+argmin compacts the [n, n] block to n candidates
+        # (docstring above).  min and argmin are two reduction consumers
+        # of one fused producer — XLA emits them in the same pass over
+        # the delta block; nothing [n, n]-shaped survives to the engine.
+        g = permuted_dist(p)
+        h = jnp.dot(flow, g.T, preferred_element_type=jnp.float32)
+        hd = jnp.diagonal(h)
+        delta = 2.0 * (
+            h + h.T - hd[:, None] - hd[None, :] + 2.0 * flow * g
+        )
+        ia = jnp.arange(n, dtype=jnp.int32)
+        upper = ia[:, None] < ia[None, :]  # each unordered swap once
+        w = jnp.where(upper, cur_score[0] + delta, jnp.inf)
+        rmin = jnp.min(w, axis=1)                      # [n]
+        rarg = jnp.argmin(w, axis=1).astype(jnp.int32)  # smallest-b ties
+        return Neighborhood(
+            scores=make_score(rmin),
+            moves=(ia, rarg),
+            valid=jnp.isfinite(rmin),  # row n-1 has no a<b partner
+            n_valid=jnp.int32(n - 1),
         )
 
     def neighborhood_sharded(p, cur_score, _key):
@@ -233,15 +278,19 @@ def make_qap_problem(
         p_new = p.at[idx_sel].set(rotated)
         return jnp.where(do_change, p_new, p)
 
+    if nbr_axis is not None:
+        nbr_fn = neighborhood_sharded
+    elif compact:
+        nbr_fn = neighborhood_compact
+    else:
+        nbr_fn = neighborhood
     return Problem(
-        name=f"qap-{n}",
+        name=f"qap-{n}" + ("-compact" if compact and nbr_axis is None else ""),
         init=init,
         score=score,
         is_best=is_best,
         fingerprint=fingerprint,
-        neighborhood=(
-            neighborhood if nbr_axis is None else neighborhood_sharded
-        ),
+        neighborhood=nbr_fn,
         move_fp=move_fp,
         apply_move=apply_move,
         perturb=perturb,

@@ -177,6 +177,68 @@ def test_qap_sharded_population_solves():
     assert sorted(np.asarray(perm).tolist()) == list(range(16))
 
 
+def test_compact_neighborhood_scores_and_winner_match_dense():
+    """compact=True (row-min compaction, models/qap.py): every emitted
+    candidate carries exactly the full-rescore score of its swap, and the
+    lexicographic winner is IDENTICAL to the dense path's (same (a, b)
+    move, same score) — the tie-break proof in the docstring, tested."""
+    from constraint_solver_tpu.ops.lex import lex_argmin
+
+    for seed in range(4):
+        spec = QAPSpec.random(12, seed=seed, max_val=5)
+        flow, dist = spec.arrays()
+        dense = make_qap_problem(spec)
+        comp = make_qap_problem(spec, compact=True)
+        p = dense.init(jax.random.key(seed))
+        cur = dense.score(p)
+        nb_d = dense.neighborhood(p, cur, jax.random.key(0))
+        nb_c = comp.neighborhood(p, cur, jax.random.key(0))
+        # n-wide candidate list, one per facility row, row n-1 invalid.
+        assert nb_c.valid.shape == (12,)
+        assert int(nb_c.n_valid) == int(np.sum(np.asarray(nb_c.valid))) == 11
+        a_idx, b_idx = np.asarray(nb_c.moves[0]), np.asarray(nb_c.moves[1])
+        scores = np.asarray(nb_c.scores)[:, 0]
+        pn = np.asarray(p)
+        for i in np.flatnonzero(np.asarray(nb_c.valid)):
+            q = pn.copy()
+            q[a_idx[i]], q[b_idx[i]] = q[b_idx[i]], q[a_idx[i]]
+            assert scores[i] == qap_cost_naive(flow, dist, q)
+        # Winner identity: same move, same score as the dense argmin.
+        wd = int(lex_argmin(nb_d.scores, nb_d.valid))
+        wc = int(lex_argmin(nb_c.scores, nb_c.valid))
+        assert (a_idx[wc], b_idx[wc]) == (
+            int(nb_d.moves[0][wd]), int(nb_d.moves[1][wd]))
+        assert scores[wc] == float(np.asarray(nb_d.scores)[wd, 0])
+
+
+def test_compact_ils_finds_brute_force_optimum_n7():
+    """The compact problem drives the full ILS stack to the same brute-force
+    optimum the dense path reaches (test above)."""
+    spec = QAPSpec.random(7, seed=9)
+    flow, dist = spec.arrays()
+    best = min(
+        qap_cost_naive(flow, dist, np.asarray(perm))
+        for perm in itertools.permutations(range(7))
+    )
+    problem = make_qap_problem(spec, compact=True)
+    solver = Solver(
+        problem,
+        SolverConfig(
+            seed="q",
+            local_search_max_iterations=200,
+            best_solutions_capacity=8,
+            all_solutions_capacity=64,
+            all_solution_iteration_expiry=200,
+            iterated_local_search_max_iterations=60,
+            max_allow_no_improvement_for=5,
+        ),
+    )
+    solver.run(chunk=20)
+    (cost, _), p = solver.get_best_solution()
+    assert cost == best, f"compact ILS found {cost}, optimum {best}"
+    assert sorted(p.tolist()) == list(range(7))
+
+
 def test_neighborhood_n_valid_matches_mask():
     """Neighborhood.n_valid contract (core/problem.py): the algebraic
     candidate count must equal the mask's population count.  (A
