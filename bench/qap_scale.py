@@ -28,8 +28,9 @@ from constraint_solver_tpu.parallel.population import PopulationSolver
 ROUNDS = int(os.environ.get("QAP_ROUNDS", 6))
 
 
-def arm(n, pop, chunk=2, compact=False):
-    problem = make_qap_problem(QAPSpec.random(n, seed=0), compact=compact)
+def arm(n, pop, chunk=2, compact=False, incremental=False):
+    problem = make_qap_problem(
+        QAPSpec.random(n, seed=0), compact=compact, incremental=incremental)
     config = SolverConfig(
         seed="bench",
         local_search_max_iterations=50,
@@ -39,7 +40,7 @@ def arm(n, pop, chunk=2, compact=False):
         iterated_local_search_max_iterations=100_000,
         max_allow_no_improvement_for=5,
     )
-    label = f"qap-{n}{'c' if compact else ''} P={pop}"
+    label = f"qap-{n}{'c' if compact else ''}{'i' if incremental else ''} P={pop}"
     solver = PopulationSolver(problem, config, population=pop)
     t0 = time.time()
     solver.run(max_rounds=2, chunk=chunk)  # compile warm-up
@@ -65,12 +66,13 @@ def arm(n, pop, chunk=2, compact=False):
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     # Trailing "c" on an arm selects the row-min compact proposer
-    # (models/qap.py compact=True), e.g. "1024x16c".
+    # (models/qap.py compact=True), trailing "i" the incremental G/H
+    # rank-2-update variant (incremental=True), e.g. "1024x16c,2048x16i".
     arms = os.environ.get("QAP_ARMS", "256x64,1024x16,1024x64,2048x16")
     for a in arms.split(","):
-        compact = a.endswith("c")
-        n, pop = (int(v) for v in a.rstrip("c").split("x"))
-        arm(n, pop, compact=compact)
+        compact, incremental = a.endswith("c"), a.endswith("i")
+        n, pop = (int(v) for v in a.rstrip("ci").split("x"))
+        arm(n, pop, compact=compact, incremental=incremental)
 
 
 if __name__ == "__main__":

@@ -26,12 +26,21 @@ def main(argv=None):
         "--compact", action=argparse.BooleanOptionalAction, default=None,
         help="row-min candidate compaction (models/qap.py compact=True): "
         "+40-50%% moves/s at n>=1024 on chip, identical winners; "
-        "default: on for --size >= 512",
+        "default: on for 512 <= --size < 4096",
+    )
+    parser.add_argument(
+        "--incremental", action=argparse.BooleanOptionalAction, default=None,
+        help="carry G/H in state with exact rank-2 swap updates "
+        "(models/qap.py incremental=True): no per-iteration matmuls; "
+        "measured fastest at n >= 4096 (+49%% over compact); "
+        "default: on for --size >= 4096",
     )
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
+    if args.incremental is None:
+        args.incremental = args.size >= 4096
     if args.compact is None:
-        args.compact = args.size >= 512
+        args.compact = args.size >= 512 and not args.incremental
 
     if args.platform == "cpu":
         import jax
@@ -50,7 +59,8 @@ def main(argv=None):
 
     print("qap example")
     spec = QAPSpec.random(args.size, seed=args.instance_seed)
-    problem = make_qap_problem(spec, compact=args.compact)
+    problem = make_qap_problem(
+        spec, compact=args.compact, incremental=args.incremental)
     config = SolverConfig(
         seed=args.seed,
         local_search_max_iterations=100,
@@ -67,6 +77,8 @@ def main(argv=None):
         solver = Solver(problem, config)
     solver.run()
     (hard, _), perm = solver.get_best_solution()
+    if hasattr(perm, "p"):  # incremental QAPState carries (p, G, H)
+        perm = perm.p
     wall = time.time() - t0
 
     # Cross-check the device score against the host oracle.

@@ -79,6 +79,17 @@ def qap_cost_naive(flow: np.ndarray, dist: np.ndarray, p: np.ndarray) -> float:
     return float(np.sum(flow * dist[np.ix_(p, p)]))
 
 
+class QAPState(NamedTuple):
+    """State for the ``incremental=True`` variant: the permutation plus the
+    carried G = D[p][:, p] and H = F G matrices, so a swap costs rank-2
+    O(n^2) fused updates instead of three O(n^3) matmuls (see
+    make_qap_problem docstring)."""
+
+    p: jax.Array  # int32[n]
+    g: jax.Array  # float32[n, n], exactly D[p][:, p] (updates are exact)
+    h: jax.Array  # float32[n, n], F @ G up to bounded f32 drift per round
+
+
 @lru_cache(maxsize=32)
 def make_qap_problem(
     spec: QAPSpec,
@@ -86,6 +97,7 @@ def make_qap_problem(
     nbr_shards: int = 1,
     nbr_keep: int = 64,
     compact: bool = False,
+    incremental: bool = False,
 ) -> Problem:
     """``compact``: row-min candidate compaction for MXU-scale boards.  The
     round-5 roofline verdict (BENCH_NOTES "QAP at MXU scale") found the
@@ -106,6 +118,23 @@ def make_qap_problem(
     (core/local_search.py:118-121), so this is theoretical.  ``width``
     stays n^2: every delta is still evaluated each iteration, the
     compaction only removes VPU passes over the candidate *list*.
+
+    ``incremental``: carry G = D[p][:, p] and H = F G in the solver state
+    (``QAPState``) and update them per applied swap with EXACT permutation
+    identities (G' = P G P, small-integer f32 arithmetic, exact at any n)
+    and a rank-2 update (H' = H - fu gu^T - hu u^T + s fu u^T with
+    fu = F[:, a] - F[:, b] etc., all column differences and one outer
+    product — no matvec: F G u == H u).  The per-iteration cost drops from
+    three [n, n] x [n, n] matmuls (2 rebuilding G from p, 1 for H) to a
+    handful of fused O(n^2) VPU passes — the classic Taillard-style
+    incremental evaluation, restructured as dense tensor algebra instead
+    of scalar loops.  Selection uses the same row-min compaction as
+    ``compact``.  H is recomputed from scratch at every perturbation
+    (round start), bounding f32 drift to one descent (<= ls_max rank-2
+    adds; exact below cost 2^24, i.e. every test instance).  Memory: the
+    elite archive stores full QAPStates, so keep
+    ``best_solutions_capacity`` small at large n (8 x 2 x n^2 x 4 B per
+    lane — ~4 GB at n = 4096, P = 4, capacity 8).
 
     ``nbr_axis``/``nbr_shards``: tensor-parallel neighborhood.  Inside a
     ``shard_map`` over that mesh axis each shard scores its n/shards ROW
@@ -277,6 +306,105 @@ def make_qap_problem(
         )
         p_new = p.at[idx_sel].set(rotated)
         return jnp.where(do_change, p_new, p)
+
+    def _gh_from_p(p):
+        g = permuted_dist(p)
+        h = jnp.dot(flow, g, preferred_element_type=jnp.float32)
+        return g, h
+
+    def init_inc(key):
+        p = init(key)
+        return QAPState(p, *_gh_from_p(p))
+
+    def score_inc(st):
+        return make_score(jnp.sum(flow * st.g))
+
+    def fingerprint_inc(st):
+        return fingerprint_i32(st.p)
+
+    def neighborhood_inc(st, cur_score, _key):
+        # The compact row-min neighborhood with G and H read from state —
+        # zero matmuls per iteration.
+        hd = jnp.diagonal(st.h)
+        delta = 2.0 * (
+            st.h + st.h.T - hd[:, None] - hd[None, :] + 2.0 * flow * st.g
+        )
+        ia = jnp.arange(n, dtype=jnp.int32)
+        upper = ia[:, None] < ia[None, :]
+        w = jnp.where(upper, cur_score[0] + delta, jnp.inf)
+        rmin = jnp.min(w, axis=1)
+        rarg = jnp.argmin(w, axis=1).astype(jnp.int32)
+        return Neighborhood(
+            scores=make_score(rmin),
+            moves=(ia, rarg),
+            valid=jnp.isfinite(rmin),
+            n_valid=jnp.int32(n - 1),
+        )
+
+    def move_fp_inc(st, cur_fp, moves, idx):
+        a_idx, b_idx = moves
+        a, b = a_idx[idx], b_idx[idx]
+        from constraint_solver_tpu.ops.fingerprint import fp_update
+
+        pa = st.p[a].astype(jnp.uint32)
+        pb = st.p[b].astype(jnp.uint32)
+        return fp_update(fp_update(cur_fp, a, pa, pb), b, pb, pa)
+
+    def apply_move_inc(st, moves, idx):
+        # G' = P G P and H' = F G' as rank-2 fused updates (docstring):
+        # with u = e_a - e_b, gu = G u, fu = F u, hu = H u (== F G u, so
+        # no matvec through F G is needed) and s = u^T G u:
+        #   G' = G - u gu^T - gu u^T + s u u^T          (exact: small ints)
+        #   H' = H - fu gu^T - hu u^T + s fu u^T        (rank-2 f32 adds)
+        # The u-outer terms only touch columns a and b, expressed as fused
+        # one-hot broadcasts — no scatters, no gathers.
+        a_idx, b_idx = moves
+        a, b = a_idx[idx], b_idx[idx]
+        ia = jnp.arange(n, dtype=jnp.int32)
+        oa = (ia == a).astype(jnp.float32)
+        ob = (ia == b).astype(jnp.float32)
+        d = oa - ob  # u as a dense vector
+        gu = st.g @ d
+        hu = st.h @ d
+        fu = flow @ d
+        s = jnp.dot(d, gu)
+        g2 = (
+            st.g
+            - d[:, None] * gu[None, :]
+            - gu[:, None] * d[None, :]
+            + s * d[:, None] * d[None, :]
+        )
+        h2 = (
+            st.h
+            - fu[:, None] * gu[None, :]
+            + (s * fu - hu)[:, None] * oa[None, :]
+            + (hu - s * fu)[:, None] * ob[None, :]
+        )
+        pa, pb = st.p[a], st.p[b]
+        p2 = st.p.at[a].set(pb).at[b].set(pa)
+        return QAPState(p2, g2, h2)
+
+    def perturb_inc(st, is_elite, key):
+        # Perturb the permutation, then REBUILD G and H with the matmuls —
+        # once per round, which also bounds H's f32 drift to one descent.
+        p2 = perturb(st.p, is_elite, key)
+        return QAPState(p2, *_gh_from_p(p2))
+
+    if incremental:
+        if nbr_axis is not None:
+            raise ValueError("incremental excludes nbr_axis sharding")
+        return Problem(
+            name=f"qap-{n}-inc",
+            init=init_inc,
+            score=score_inc,
+            is_best=is_best,
+            fingerprint=fingerprint_inc,
+            neighborhood=neighborhood_inc,
+            move_fp=move_fp_inc,
+            apply_move=apply_move_inc,
+            perturb=perturb_inc,
+            width=n * n,
+        )
 
     if nbr_axis is not None:
         nbr_fn = neighborhood_sharded

@@ -239,6 +239,84 @@ def test_compact_ils_finds_brute_force_optimum_n7():
     assert sorted(p.tolist()) == list(range(7))
 
 
+def test_incremental_state_tracks_exactly_through_descent():
+    """incremental=True (models/qap.py QAPState): walking a greedy descent,
+    the carried G stays EXACTLY D[p][:, p] and H exactly F G (small-integer
+    f32 arithmetic), the per-step winner matches the compact path's, and
+    every accepted score matches the host oracle."""
+    from constraint_solver_tpu.ops.lex import lex_argmin
+
+    for seed in range(2):
+        spec = QAPSpec.random(14, seed=seed, max_val=7)
+        flow, dist = spec.arrays()
+        comp = make_qap_problem(spec, compact=True)
+        inc = make_qap_problem(spec, incremental=True)
+        key = jax.random.key(seed)
+        st = inc.init(key)
+        p = st.p  # same permutation for the compact walk
+        cur = inc.score(st)
+        assert float(np.asarray(cur)[0]) == qap_cost_naive(
+            flow, dist, np.asarray(st.p))
+        for step in range(12):
+            nb_i = inc.neighborhood(st, cur, jax.random.key(step))
+            nb_c = comp.neighborhood(p, cur, jax.random.key(step))
+            wi = int(lex_argmin(nb_i.scores, nb_i.valid))
+            wc = int(lex_argmin(nb_c.scores, nb_c.valid))
+            np.testing.assert_array_equal(
+                np.asarray(nb_i.scores), np.asarray(nb_c.scores))
+            assert (int(nb_i.moves[0][wi]), int(nb_i.moves[1][wi])) == (
+                int(nb_c.moves[0][wc]), int(nb_c.moves[1][wc]))
+            # fingerprints agree between the two representations
+            np.testing.assert_array_equal(
+                np.asarray(inc.move_fp(st, inc.fingerprint(st), nb_i.moves, wi)),
+                np.asarray(comp.move_fp(p, comp.fingerprint(p), nb_c.moves, wc)),
+            )
+            st = inc.apply_move(st, nb_i.moves, wi)
+            p = comp.apply_move(p, nb_c.moves, wc)
+            cur = nb_i.scores[wi]
+            np.testing.assert_array_equal(np.asarray(st.p), np.asarray(p))
+            # G exact, H exact (integers below 2^24 at this size)
+            pn = np.asarray(st.p)
+            g_want = dist[np.ix_(pn, pn)]
+            np.testing.assert_array_equal(np.asarray(st.g), g_want)
+            np.testing.assert_array_equal(
+                np.asarray(st.h), flow @ g_want.astype(np.float32))
+            assert float(np.asarray(cur)[0]) == qap_cost_naive(flow, dist, pn)
+        # Perturbation rebuilds G/H for the new permutation exactly.
+        st2 = inc.perturb(st, jnp.asarray(False), jax.random.key(99))
+        pn2 = np.asarray(st2.p)
+        assert sorted(pn2.tolist()) == list(range(14))
+        np.testing.assert_array_equal(np.asarray(st2.g), dist[np.ix_(pn2, pn2)])
+
+
+def test_incremental_ils_finds_brute_force_optimum_n7():
+    """The incremental problem drives the full ILS stack (elite archive of
+    QAPStates, restarts, perturbations) to the brute-force optimum."""
+    spec = QAPSpec.random(7, seed=9)
+    flow, dist = spec.arrays()
+    best = min(
+        qap_cost_naive(flow, dist, np.asarray(perm))
+        for perm in itertools.permutations(range(7))
+    )
+    problem = make_qap_problem(spec, incremental=True)
+    solver = Solver(
+        problem,
+        SolverConfig(
+            seed="q",
+            local_search_max_iterations=200,
+            best_solutions_capacity=8,
+            all_solutions_capacity=64,
+            all_solution_iteration_expiry=200,
+            iterated_local_search_max_iterations=60,
+            max_allow_no_improvement_for=5,
+        ),
+    )
+    solver.run(chunk=20)
+    (cost, _), st = solver.get_best_solution()
+    assert cost == best, f"incremental ILS found {cost}, optimum {best}"
+    assert sorted(np.asarray(st.p).tolist()) == list(range(7))
+
+
 def test_neighborhood_n_valid_matches_mask():
     """Neighborhood.n_valid contract (core/problem.py): the algebraic
     candidate count must equal the mask's population count.  (A
